@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator family from SURVEY.md §2
+plus the training-data pipeline operators (dedup / similarity / text
+analysis / windowed events) over the driver testdata tables; each has a
+value-exact DuckDB oracle in ``oracle_sql()`` (scores rounded to 6 dp on
+both sides; identical column names).
 """
 
 from __future__ import annotations
@@ -12,27 +12,158 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators import dedup as D
+from search_engine_spark.operators import events as E
+from search_engine_spark.operators import similarity as SIM
+from search_engine_spark.operators import textstats as TS
+from search_engine_spark.operators.postings import (
+    Index,
+    build_documents_from_testdata,
+    build_index,
+)
+from search_engine_spark.operators.search import search
+from search_engine_spark.functions.tokenizer import term_to_id
+from search_engine_spark.oracle import sqlgen
+
+_INDEX_CACHE: dict[str, Index] = {}
+
+
+def _index(spark: SparkSession, sf_dir: str) -> Index:
+    if sf_dir not in _INDEX_CACHE:
+        docs = build_documents_from_testdata(spark, sf_dir).cache()
+        _INDEX_CACHE[sf_dir] = build_index(docs)
+    return _INDEX_CACHE[sf_dir]
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _rounded_rank(r: DataFrame) -> DataFrame:
+    """Re-rank on the 6-dp-rounded score (doc_id tiebreak) so exact score
+    ties — broken only by sub-ULP float-sum-order noise — rank identically
+    in any engine."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        r.select("doc_id", F.round("score", 6).alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
+def _search_q(query: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _rounded_rank(search(_index(spark, sf_dir), query))
+
+    return run
+
+
+def _search_enriched_q(query: str, k: int = 10):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = _index(spark, sf_dir)
+        r = _rounded_rank(search(idx, query)).filter(F.col("rank") <= k)
+        docs = idx.documents.select("doc_id", "url")
+        return r.join(docs, "doc_id").select("doc_id", "url", "score", "rank")
+
+    return run
+
+
+def _lexicon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _index(spark, sf_dir).lexicon.select("term", "df", "ctf")
+
+
+def _corpus_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index(spark, sf_dir)
+    a = idx.documents.agg(F.count("*").alias("n_docs"))
+    b = idx.postings.agg(
+        F.countDistinct("term_id").alias("n_terms"), F.count("*").alias("n_postings")
+    )
+    return a.crossJoin(b)
+
+
+def _postings_term_q(term: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = _index(spark, sf_dir)
+        return idx.postings.filter(F.col("term_id") == term_to_id(term)).select(
+            "doc_id",
+            F.size("positions").cast("long").alias("tf"),
+            F.element_at("positions", 1).cast("long").alias("first_pos"),
+            F.element_at("positions", -1).cast("long").alias("last_pos"),
+        )
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: multi-keyword AND search, enriched with URLs, on sf0.001."""
+    return _search_enriched_q("table spark")(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- fulltext index + query core (SURVEY §2.3-2.8) -----------------
+        "lexicon": _lexicon_q,
+        "corpus_stats": _corpus_stats_q,
+        "postings_ta": _postings_term_q("ta"),
+        "search_table": _search_q("table"),
+        "search_and": _search_q("table spark"),
+        "search_not": _search_q("table -dup"),
+        "search_site": _search_q("table site:src3"),
+        "search_rare": _search_q("dup"),
+        "search_absent": _search_q("qqqq"),
+        "search_enriched": _search_enriched_q("spark"),
+        # --- training-data pipeline: dedup ---------------------------------
+        "dedup_exact": lambda s, d: D.exact_dedup(_documents(s, d)),
+        "dedup_jaccard": lambda s, d: D.ngram_jaccard_pairs(_documents(s, d)),
+        "dedup_minhash": lambda s, d: D.minhash_candidate_pairs(_documents(s, d)),
+        "dedup_simhash": lambda s, d: D.simhash(_documents(s, d)),
+        # --- similarity search ---------------------------------------------
+        "embed_knn": lambda s, d: SIM.cosine_topk(_embeddings(s, d), query_vec_id=0),
+        "embed_lsh_buckets": lambda s, d: SIM.lsh_buckets(_embeddings(s, d)),
+        # --- text analysis ---------------------------------------------------
+        "text_lang_id": lambda s, d: TS.lang_id(_documents(s, d)),
+        "text_quality": lambda s, d: TS.quality_score(_documents(s, d)),
+        "text_tokens": lambda s, d: TS.token_counts(_documents(s, d)),
+        "text_fingerprint": lambda s, d: TS.fingerprint(_documents(s, d)),
+        # --- event windowing --------------------------------------------------
+        "events_hourly": lambda s, d: E.hourly_event_stats(_events(s, d)),
+        "events_sessionize": lambda s, d: E.sessionize(_events(s, d)),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lexicon": sqlgen.lexicon_sql(),
+        "corpus_stats": sqlgen.corpus_stats_sql(),
+        "postings_ta": sqlgen.postings_term_sql("ta"),
+        "search_table": sqlgen.search_sql("table"),
+        "search_and": sqlgen.search_sql("table spark"),
+        "search_not": sqlgen.search_sql("table -dup"),
+        "search_site": sqlgen.search_sql("table site:src3"),
+        "search_rare": sqlgen.search_sql("dup"),
+        "search_absent": sqlgen.search_sql("qqqq"),
+        "search_enriched": sqlgen.search_enriched_sql("spark"),
+        "dedup_exact": sqlgen.dedup_exact_sql(),
+        "dedup_jaccard": sqlgen.dedup_jaccard_sql(),
+        "dedup_minhash": sqlgen.dedup_minhash_sql(),
+        "dedup_simhash": sqlgen.dedup_simhash_sql(),
+        "embed_knn": sqlgen.embed_knn_sql(),
+        "embed_lsh_buckets": sqlgen.embed_lsh_buckets_sql(),
+        "text_lang_id": sqlgen.lang_id_sql(),
+        "text_quality": sqlgen.quality_sql(),
+        "text_tokens": sqlgen.token_counts_sql(),
+        "text_fingerprint": sqlgen.fingerprint_sql(),
+        "events_hourly": sqlgen.events_hourly_sql(),
+        "events_sessionize": sqlgen.sessionize_sql(),
+    }

@@ -1,0 +1,105 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": ...}
+
+Extra keys (informational): docs_per_sec for the index build, n_docs.
+Run: python bench.py  [--sf-dir DIR] [--cpus N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators import dedup as D
+    from search_engine_spark.operators import similarity as SIM
+    from search_engine_spark.operators import textstats as TS
+    from search_engine_spark.operators.postings import (
+        build_documents_from_testdata,
+        build_index,
+    )
+    from search_engine_spark.operators.search import search
+    from search_engine_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=int(args.cpus),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    sf = args.sf_dir.rstrip("/").split("sf")[-1]
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- index build (tokenize -> postings -> lexicon, fully materialized) --
+    docs = build_documents_from_testdata(spark, args.sf_dir).cache()
+    n_docs = docs.count()
+    t0 = time.time()
+    index = build_index(docs)
+    n_postings = index.postings.count()  # forces the tokenize+agg pipeline
+    index.lexicon.count()
+    build_sec = time.time() - t0
+    timings["index_build"] = round(build_sec, 3)
+
+    # --- query side ----------------------------------------------------------
+    for qname, q in [
+        ("q_single", "table"),
+        ("q_and", "table spark"),
+        ("q_not", "table -dup"),
+        ("q_site", "spark site:src3"),
+        ("q_rare", "dup"),
+    ]:
+        timed(qname, lambda q=q: search(index, q).collect())
+
+    # --- training-data ops ----------------------------------------------------
+    raw = spark.read.parquet(f"{args.sf_dir}/documents.parquet").cache()
+    raw.count()
+    emb = spark.read.parquet(f"{args.sf_dir}/embeddings.parquet").cache()
+    emb.count()
+    timed("dedup_minhash", lambda: D.minhash_candidate_pairs(raw).collect())
+    timed("dedup_jaccard", lambda: D.ngram_jaccard_pairs(raw).collect())
+    timed("dedup_simhash", lambda: D.simhash(raw).collect())
+    timed("embed_knn", lambda: SIM.cosine_topk(emb, query_vec_id=0).collect())
+    timed("text_quality", lambda: TS.quality_score(raw).collect())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_plus_query_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs": n_docs,
+                "n_postings": n_postings,
+                "docs_per_sec": round(n_docs / build_sec, 1),
+                "cpus": int(args.cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

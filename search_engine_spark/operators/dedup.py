@@ -1,0 +1,221 @@
+"""Deduplication operators for training-data pipelines.
+
+All four dedup families are expressed as pure DataFrame plans (no Python
+UDFs): exact hash-groupBy, word-n-gram Jaccard with shingle-join blocking,
+MinHash + LSH banding, and SimHash bit-voting. Every hash used is a
+*portable* construction (md5 hex / md5-derived 60-bit ints) so results are
+reproducible across engines (the DuckDB oracle computes the same values).
+
+Scale notes (100 TB design):
+- exact dedup: one shuffle on the digest; map-side partial agg is free.
+- n-gram Jaccard: the shingle self-join is blocked by the shingle value —
+  at web scale drop ultra-frequent shingles first (``max_shingle_df``)
+  or the join explodes quadratically on boilerplate.
+- MinHash/LSH: signatures are built with ONE groupBy over
+  (doc, seed) — no per-row Python; candidate generation is an equi-join
+  on (band, band_hash), i.e. a shuffle on a well-distributed key.
+- SimHash: one explode (token × bit) + two groupBys; at scale, fold the
+  bit loop into a vectorized pandas UDF to cut the 64× row blowup —
+  kept declarative here because it's oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOP_SHINGLE_MAX_DF = 1 << 30  # disabled by default; tune at scale
+
+
+def porthash60(col: F.Column) -> F.Column:
+    """Portable 60-bit non-negative int hash: first 15 hex digits of md5.
+
+    Identical in Spark (``conv(substring(md5(x),1,15),16,10)``) and DuckDB
+    (``('0x' || substring(md5(x),1,15))::BIGINT``).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: (text_md5, n_copies, canonical_doc_id).
+
+    The canonical representative is the lowest doc_id (deterministic).
+    One shuffle on the digest; at 100 TB the digest groupBy benefits from
+    map-side combine (near-unique keys -> partial agg passes through).
+    """
+    return (
+        documents.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).cast("long").alias("canonical_doc_id"),
+        )
+    )
+
+
+def word_shingles(
+    documents: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram shingles: (doc_id, shingle).
+
+    Built with array ops only (split → sliding transform → explode →
+    distinct). Documents with fewer than n words produce no shingles.
+    """
+    ws = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        documents.select(F.col(id_col).cast("long").alias("doc_id"), grams.alias("_g"))
+        .select("doc_id", F.explode("_g").alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard: (doc_a, doc_b, jaccard).
+
+    Blocking: the self-join runs on the shingle value, so only docs sharing
+    at least one shingle ever meet — never the full cross product. jaccard
+    is rounded to 6 decimals for cross-engine comparability.
+    """
+    sh = word_shingles(documents, n=n, text_col=text_col, id_col=id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb"))
+    jac = F.col("n_common") / (F.col("_na") + F.col("_nb") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature rows: (doc_id, seed, minhash).
+
+    minhash(doc, s) = lexicographic MIN of md5(f"{s}:{shingle}") over the
+    doc's distinct shingles — portable (string min of hex digests), and
+    a single groupBy (one shuffle) for all seeds at once.
+    """
+    sh = word_shingles(documents, n=n, text_col=text_col, id_col=id_col)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    seeded = sh.select("doc_id", "shingle", seeds)
+    h = F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
+    return (
+        seeded.select("doc_id", "seed", h.alias("_h"))
+        .groupBy("doc_id", "seed")
+        .agg(F.min("_h").alias("minhash"))
+    )
+
+
+def minhash_band_keys(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH band keys: (doc_id, band, band_hash).
+
+    band_hash = md5 of the band's minhashes joined by ',' in seed order
+    (seed order enforced by sorting (seed, minhash) structs — numeric on
+    seed, matching the oracle's ``ORDER BY seed``).
+    """
+    mh = minhash_signatures(documents, num_hashes, n, text_col, id_col)
+    banded = mh.withColumn("band", (F.col("seed") / band_size).cast("int"))
+    ordered = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+            lambda s: s["minhash"],
+        ),
+        ",",
+    )
+    return (
+        banded.groupBy("doc_id", "band")
+        .agg(F.md5(ordered).alias("band_hash"))
+    )
+
+
+def minhash_candidate_pairs(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate pairs: (doc_a, doc_b, n_bands) — docs sharing >=1 band.
+
+    The join key (band, band_hash) is high-cardinality and uniform, so the
+    shuffle is skew-free even at web scale (identical docs all land in one
+    bucket, which is exactly the work that must be done).
+    """
+    bk = minhash_band_keys(documents, num_hashes, band_size, n, text_col, id_col)
+    a, b = bk.alias("a"), bk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def simhash(
+    documents: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash fingerprints: (doc_id, simhash).
+
+    Token multiset → portable 60-bit hash per token → per-bit vote
+    (+1 if the bit is set, else -1) → fingerprint bit = (vote > 0).
+    Declarative form: explode token × bit, two groupBys.
+    """
+    words = documents.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    hashed = words.select("doc_id", porthash60(F.col("w")).alias("h"))
+    b = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    votes = (
+        hashed.select("doc_id", "h", b)
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(F.when(F.expr("shiftright(h, b) & 1") == 1, 1).otherwise(-1)).alias("v")
+        )
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("v") > 0, F.expr("shiftleft(1L, b)")).otherwise(0))
+            .cast("long")
+            .alias("simhash")
+        )
+    )

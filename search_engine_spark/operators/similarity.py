@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, plus a random-hyperplane
+LSH bucketing path for approximate search at scale. Everything is
+expression-level (zip_with / aggregate fold inside whole-stage codegen) —
+no Python UDFs in the hot path.
+
+Scale notes: brute-force is a single scan + TakeOrderedAndProject (no
+shuffle beyond the final top-k fan-in); for 100 TB the LSH path prunes the
+scan to matching buckets (partition the vector table by bucket → partition
+pruning at query time). Hyperplanes are deterministic ±1 vectors derived
+from md5 parity so the same buckets are computable anywhere (and by the
+DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in float64 via zip_with + aggregate (sequential fold)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine to the vector with ``query_vec_id``.
+
+    The 1-row query side is cross-joined (Catalyst broadcasts it); the scan
+    side never shuffles — the plan is scan → project → global top-k.
+    """
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qv")
+    )
+    sim = cosine(F.col(vec_col), F.col("_qv"))
+    return (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != query_vec_id)
+        .select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.round(sim, 6).alias("cos_sim"),
+            sim.alias("_raw"),
+        )
+        .orderBy(F.desc("_raw"), F.asc("vec_id"))
+        .limit(k)
+        .drop("_raw")
+    )
+
+
+def hyperplane_signs(n_planes: int, dim: int, salt: str = "hp") -> list[list[int]]:
+    """Deterministic ±1 hyperplane components from md5 parity.
+
+    sign(i, j) = +1 if the first hex digit of md5(f"{salt}:{i}:{j}") is
+    even else -1 — reproducible in any engine with md5.
+    """
+    out = []
+    for i in range(n_planes):
+        row = []
+        for j in range(dim):
+            d = hashlib.md5(f"{salt}:{i}:{j}".encode()).hexdigest()
+            row.append(1 if int(d[0], 16) % 2 == 0 else -1)
+        out.append(row)
+    return out
+
+
+def lsh_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector: (vec_id, bucket).
+
+    bucket bit i = 1 iff dot(v, h_i) > 0, h_i a deterministic ±1 plane.
+    The dot products are left-assoc sums of ±element terms — a plain
+    column expression, identical in the oracle SQL.
+    """
+    signs = hyperplane_signs(n_planes, dim)
+    bucket = None
+    for i, row in enumerate(signs):
+        terms = [
+            F.element_at(F.col(vec_col), j + 1).cast("double") * float(s)
+            for j, s in enumerate(row)
+        ]
+        d = reduce(lambda a, b_: a + b_, terms)
+        bit = F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"), bucket.cast("long").alias("bucket")
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: restrict the scan to the query's LSH bucket,
+    then exact cosine within it. At scale the vector table is written
+    partitioned by bucket, so this becomes a partition-pruned scan."""
+    b = lsh_buckets(embeddings, n_planes, dim, vec_col, id_col)
+    qb = b.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("bucket").alias("_qb")
+    )
+    cand_ids = (
+        b.crossJoin(F.broadcast(qb))
+        .filter(F.col("bucket") == F.col("_qb"))
+        .select(F.col("vec_id").alias("_cid"))
+    )
+    cand = embeddings.join(
+        F.broadcast(cand_ids), F.col(id_col).cast("long") == F.col("_cid"), "left_semi"
+    )
+    return cosine_topk(cand, query_vec_id, k, vec_col, id_col)

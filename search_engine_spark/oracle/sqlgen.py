@@ -1,0 +1,367 @@
+"""ANSI-SQL (DuckDB) oracle generators for the driver's correctness gate.
+
+Each generator returns a self-contained SQL string over the driver's
+pre-registered views (``documents``, ``embeddings``, ``events``) that
+reproduces the corresponding engine DataFrame query *value-exactly*
+(scores rounded to 6 dp on both sides; identical column names/types).
+
+The search oracle reimplements the full reference scoring semantics
+(SURVEY §2.6-2.7) in SQL: char-bigram positions via a character-level
+lateral unnest, conjunctive candidate sets, TF-IDF with natural log,
+phrase-alignment counts, the 3x title pass (title is empty in the
+testdata documents table, so B_title = 1), the 50-lowest-docId
+truncation, and score-desc/doc_id-asc ranking.
+"""
+
+from __future__ import annotations
+
+from ..functions.tokenizer import bigram_split
+
+# Character-level bigram positions over documents.text (body field; the
+# testdata documents table has no title). p is the 0-based char offset.
+POS_CTE = """
+pos AS (
+  SELECT doc_id, i - 1 AS p, substring(text, i, 2) AS term
+  FROM documents,
+       LATERAL (SELECT unnest(range(1, length(text)::BIGINT)) AS i) gen
+  WHERE regexp_matches(substring(text, i, 2), '^[一-龥A-Za-z0-9]{2}$')
+)
+""".strip()
+
+STATS_CTE = "stats AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM pos GROUP BY term)"
+NDOCS_CTE = "nd AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents)"
+
+# Word n-gram shingle CTEs shared by the dedup oracles (n=3).
+SHINGLE_CTES = """
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM words, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) gen
+)
+""".strip()
+
+
+def _qtokens(keyword: str) -> tuple[list[str], list[tuple[str, int]]]:
+    """Distinct terms (insertion order) + per-occurrence cursors."""
+    terms: list[str] = []
+    cursors: list[tuple[str, int]] = []
+    for term, base in bigram_split(keyword):
+        if term not in terms:
+            terms.append(term)
+        cursors.append((term, base))
+    return terms, cursors
+
+
+def _keyword_ctes(tag: str, keyword: str, score: bool) -> tuple[list[str], str | None]:
+    """CTEs for one keyword: candidates (and score if requested).
+
+    Returns (cte_list, final_score_cte_name or cand_cte_name).
+    """
+    terms, cursors = _qtokens(keyword)
+    if not terms:
+        return [], None
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    m = len(terms)
+    ctes = [
+        f"{tag}_tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM pos "
+        f"WHERE term IN ({inlist}) GROUP BY 1, 2)",
+        f"{tag}_cand AS (SELECT doc_id FROM {tag}_tf GROUP BY doc_id HAVING COUNT(*) = {m})",
+    ]
+    if not score:
+        return ctes, f"{tag}_cand"
+    mc = len(cursors)
+    values = ", ".join(f"('{t}', {b}, {j})" for j, (t, b) in enumerate(cursors))
+    ctes += [
+        f"""{tag}_s AS (
+  SELECT t.doc_id, SUM((1 + ln(t.tf)) * ln(nd.n_docs / s.df)) AS s
+  FROM {tag}_tf t JOIN stats s USING (term) CROSS JOIN nd
+  WHERE t.doc_id IN (SELECT doc_id FROM {tag}_cand)
+  GROUP BY t.doc_id
+)""",
+        f"""{tag}_phr AS (
+  SELECT doc_id, COUNT(*) AS pc FROM (
+    SELECT p.doc_id
+    FROM pos p JOIN (VALUES {values}) AS c(term, base, j) ON p.term = c.term
+    WHERE p.doc_id IN (SELECT doc_id FROM {tag}_cand)
+    GROUP BY p.doc_id, p.p - c.base
+    HAVING COUNT(DISTINCT c.j) = {mc}
+  ) al GROUP BY doc_id
+)""",
+        f"""{tag}_score AS (
+  SELECT s.doc_id,
+         3 * s.s + s.s * (CASE WHEN ph.pc > 0 THEN 3 + ln(ph.pc) ELSE 1 END) AS score
+  FROM {tag}_s s LEFT JOIN {tag}_phr ph USING (doc_id)
+)""",
+    ]
+    return ctes, f"{tag}_score"
+
+
+def search_sql(query: str, per_shard: int = 50) -> str:
+    """Full search pipeline oracle → (doc_id, score, rank)."""
+    from ..operators.search import parse_query
+
+    pq = parse_query(query)
+    ctes: list[str] = [POS_CTE, STATS_CTE, NDOCS_CTE]
+    empty = (
+        "SELECT doc_id::BIGINT AS doc_id, 0.0::DOUBLE AS score, 0::BIGINT AS rank "
+        "FROM documents WHERE 1 = 0"
+    )
+    if not pq.keywords:
+        return f"WITH {', '.join(ctes)} {empty}"
+
+    base_ctes, base_name = _keyword_ctes("k0", pq.keywords[0], score=True)
+    if base_name is None:
+        return f"WITH {', '.join(ctes)} {empty}"
+    ctes += base_ctes
+
+    conds: list[str] = []
+    for i, kw in enumerate(pq.keywords[1:], start=1):
+        kctes, kname = _keyword_ctes(f"k{i}", kw, score=False)
+        if kname is None:
+            return f"WITH {', '.join(ctes)} {empty}"
+        ctes += kctes
+        conds.append(f"doc_id IN (SELECT doc_id FROM {kname})")
+    for i, ex in enumerate(pq.exclusions):
+        ectes, ename = _keyword_ctes(f"e{i}", ex, score=False)
+        if ename is None:
+            continue  # untokenizable/absent exclusion removes nothing
+        ctes += ectes
+        conds.append(f"doc_id NOT IN (SELECT doc_id FROM {ename})")
+    if pq.site:
+        conds.append(
+            f"doc_id IN (SELECT doc_id FROM documents WHERE source LIKE '%{pq.site}')"
+        )
+    where = (" WHERE " + " AND ".join(conds)) if conds else ""
+    ctes.append(
+        f"shard AS (SELECT doc_id, score FROM {base_name}{where} "
+        f"ORDER BY doc_id LIMIT {per_shard})"
+    )
+    return (
+        f"WITH {', '.join(ctes)}\n"
+        "SELECT doc_id::BIGINT AS doc_id, ROUND(score, 6) AS score,\n"
+        "       ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id)::BIGINT AS rank\n"
+        "FROM shard"
+    )
+
+
+def search_enriched_sql(query: str, k: int = 10) -> str:
+    """Top-k search joined to the document store → (doc_id, url, score, rank)."""
+    inner = search_sql(query)
+    return (
+        f"WITH r AS ({inner})\n"
+        f"SELECT r.doc_id, d.source AS url, r.score, r.rank\n"
+        f"FROM r JOIN documents d USING (doc_id) WHERE r.rank <= {k}"
+    )
+
+
+def lexicon_sql() -> str:
+    return """
+WITH runs AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[一-龥A-Za-z0-9]+')) AS run
+  FROM documents
+)
+SELECT substring(run, i, 2) AS term,
+       COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS ctf
+FROM runs, LATERAL (SELECT unnest(range(1, length(run)::BIGINT)) AS i) gen
+GROUP BY 1
+""".strip()
+
+
+def corpus_stats_sql() -> str:
+    return f"""
+WITH {POS_CTE}
+SELECT (SELECT COUNT(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT COUNT(DISTINCT term) FROM pos)::BIGINT AS n_terms,
+       (SELECT COUNT(*) FROM (SELECT DISTINCT doc_id, term FROM pos) dp)::BIGINT AS n_postings
+""".strip()
+
+
+def postings_term_sql(term: str) -> str:
+    return f"""
+WITH {POS_CTE}
+SELECT doc_id::BIGINT AS doc_id, COUNT(*)::BIGINT AS tf,
+       MIN(p)::BIGINT AS first_pos, MAX(p)::BIGINT AS last_pos
+FROM pos WHERE term = '{term}' GROUP BY doc_id
+""".strip()
+
+
+def dedup_exact_sql() -> str:
+    return (
+        "SELECT md5(text) AS text_md5, COUNT(*)::BIGINT AS n_copies, "
+        "MIN(doc_id)::BIGINT AS canonical_doc_id FROM documents GROUP BY 1"
+    )
+
+
+def dedup_jaccard_sql(threshold: float = 0.6) -> str:
+    return f"""
+WITH {SHINGLE_CTES},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+       ROUND(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = common.doc_a
+JOIN sizes sb ON sb.doc_id = common.doc_b
+WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
+""".strip()
+
+
+def dedup_minhash_sql(num_hashes: int = 16, band_size: int = 4) -> str:
+    return f"""
+WITH {SHINGLE_CTES},
+mh AS (
+  SELECT doc_id, s, MIN(md5(s::VARCHAR || ':' || shingle)) AS h
+  FROM sh CROSS JOIN (SELECT unnest(range(0, {num_hashes})) AS s) seeds
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, (s // {band_size})::INT AS band,
+         md5(string_agg(h, ',' ORDER BY s)) AS bh
+  FROM mh GROUP BY doc_id, (s // {band_size})::INT
+)
+SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b, COUNT(*)::BIGINT AS n_bands
+FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""".strip()
+
+
+def dedup_simhash_sql(bits: int = 16) -> str:
+    return f"""
+WITH wtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+wh AS (
+  SELECT doc_id, ('0x' || substring(md5(w), 1, 15))::BIGINT AS h
+  FROM wtok WHERE w <> ''
+),
+votes AS (
+  SELECT doc_id, b, SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+  FROM wh CROSS JOIN (SELECT unnest(range(0, {bits})) AS b) bb
+  GROUP BY 1, 2
+)
+SELECT doc_id::BIGINT AS doc_id,
+       SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+FROM votes GROUP BY 1
+""".strip()
+
+
+def embed_knn_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_vec_id}),
+flat AS (
+  SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> {query_vec_id}
+),
+z AS (
+  SELECT vec_id,
+         SUM(x::DOUBLE * y::DOUBLE) AS dot,
+         SUM(x::DOUBLE * x::DOUBLE) AS na,
+         SUM(y::DOUBLE * y::DOUBLE) AS nb
+  FROM flat GROUP BY 1
+)
+SELECT vec_id::BIGINT AS vec_id, ROUND(dot / sqrt(na * nb), 6) AS cos_sim
+FROM z ORDER BY dot / sqrt(na * nb) DESC, vec_id LIMIT {k}
+""".strip()
+
+
+def embed_lsh_buckets_sql(n_planes: int = 8, dim: int = 64) -> str:
+    from ..operators.similarity import hyperplane_signs
+
+    signs = hyperplane_signs(n_planes, dim)
+    bits = []
+    for i, row in enumerate(signs):
+        terms = " + ".join(
+            f"({float(s)} * embedding[{j + 1}]::DOUBLE)" for j, s in enumerate(row)
+        )
+        bits.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return (
+        f"SELECT vec_id::BIGINT AS vec_id, ({bucket})::BIGINT AS bucket FROM embeddings"
+    )
+
+
+def lang_id_sql() -> str:
+    return r"""
+SELECT doc_id::BIGINT AS doc_id,
+       len(regexp_extract_all(text, '[一-龥]'))::BIGINT AS n_cjk,
+       len(regexp_extract_all(text, '[A-Za-z]'))::BIGINT AS n_latin,
+       CASE WHEN len(regexp_extract_all(text, '[一-龥]')) > len(regexp_extract_all(text, '[A-Za-z]')) THEN 'cjk'
+            WHEN len(regexp_extract_all(text, '[A-Za-z]')) > 0 THEN 'en'
+            ELSE 'unknown' END AS lang_guess
+FROM documents
+""".strip()
+
+
+def quality_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in ("a", "the", "of", "and", "to", "in", "is"))
+    return f"""
+WITH b AS (
+  SELECT doc_id, length(text) AS n_chars, len(string_split(text, ' ')) AS n_words,
+         len(list_filter(string_split(text, ' '), w -> w IN ({stop}))) AS n_stop
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars, n_words::BIGINT AS n_words,
+       ROUND((n_chars - (n_words - 1))::DOUBLE / n_words, 6) AS avg_word_len,
+       ROUND(n_stop::DOUBLE / n_words, 6) AS stop_ratio,
+       ROUND(ln(1.0 + n_words) * (1.0 - n_stop::DOUBLE / n_words), 6) AS quality
+FROM b
+""".strip()
+
+
+def token_counts_sql() -> str:
+    return """
+SELECT doc_id::BIGINT AS doc_id,
+       len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z_][A-Za-z0-9_]*'))::BIGINT AS n_idents,
+       len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_numbers,
+       len(regexp_extract_all(text, '[A-Za-z]{1,4}'))::BIGINT AS n_subwords
+FROM documents
+""".strip()
+
+
+def fingerprint_sql() -> str:
+    return f"""
+WITH {SHINGLE_CTES}
+SELECT d.doc_id::BIGINT AS doc_id,
+       COALESCE(MIN(md5(sh.shingle)), md5(d.text)) AS fingerprint
+FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id
+GROUP BY d.doc_id, d.text
+""".strip()
+
+
+def events_hourly_sql() -> str:
+    return """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       COUNT(*)::BIGINT AS n_events,
+       ROUND(SUM(value), 6) AS sum_value,
+       COUNT(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1, 2
+""".strip()
+
+
+def sessionize_sql(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id::BIGINT AS user_id, session_id::BIGINT AS session_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*)::BIGINT AS n_events
+FROM s GROUP BY 1, 2
+""".strip()
