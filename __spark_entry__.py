@@ -24,10 +24,13 @@ from search_engine_spark.operators.postings import (
     build_index,
 )
 from search_engine_spark.operators.search import search
+from search_engine_spark.operators.segments import DiskIndex, load_index, write_index
+from search_engine_spark.operators.wand import search_segments
 from search_engine_spark.functions.tokenizer import term_to_id
 from search_engine_spark.oracle import sqlgen
 
 _INDEX_CACHE: dict[str, Index] = {}
+_DISK_CACHE: dict[str, DiskIndex] = {}
 
 
 def _index(spark: SparkSession, sf_dir: str) -> Index:
@@ -35,6 +38,22 @@ def _index(spark: SparkSession, sf_dir: str) -> Index:
         docs = build_documents_from_testdata(spark, sf_dir).cache()
         _INDEX_CACHE[sf_dir] = build_index(docs)
     return _INDEX_CACHE[sf_dir]
+
+
+def _disk_index(spark: SparkSession, sf_dir: str) -> DiskIndex:
+    """Compressed on-disk segment index (delta+varint blobs + manifest),
+    built once per sf_dir under /tmp."""
+    if sf_dir not in _DISK_CACHE:
+        import hashlib
+        import os
+
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = f"/tmp/seg_index_{tag}"
+        docs = build_documents_from_testdata(spark, sf_dir)
+        if not os.path.exists(os.path.join(path, "meta.json")):
+            write_index(docs, path, n_buckets=16, n_shards=2, n_salts=4, salt_threshold=1000)
+        _DISK_CACHE[sf_dir] = load_index(spark, path)
+    return _DISK_CACHE[sf_dir]
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,6 +84,16 @@ def _rounded_rank(r: DataFrame) -> DataFrame:
 def _search_q(query: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _rounded_rank(search(_index(spark, sf_dir), query))
+
+    return run
+
+
+def _seg_search_q(query: str):
+    """Same query through the compressed blob path (segments + numpy
+    intersection/scoring) — checked against the SAME oracle SQL."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _rounded_rank(search_segments(_disk_index(spark, sf_dir), query))
 
     return run
 
@@ -123,6 +152,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_rare": _search_q("dup"),
         "search_absent": _search_q("qqqq"),
         "search_enriched": _search_enriched_q("spark"),
+        "seg_search_table": _seg_search_q("table"),
+        "seg_search_and": _seg_search_q("table spark"),
+        "seg_search_not": _seg_search_q("table -dup"),
+        "seg_search_site": _seg_search_q("table site:src3"),
         # --- training-data pipeline: dedup ---------------------------------
         "dedup_exact": lambda s, d: D.exact_dedup(_documents(s, d)),
         "dedup_jaccard": lambda s, d: D.ngram_jaccard_pairs(_documents(s, d)),
@@ -154,6 +187,10 @@ def oracle_sql() -> dict[str, str]:
         "search_rare": sqlgen.search_sql("dup"),
         "search_absent": sqlgen.search_sql("qqqq"),
         "search_enriched": sqlgen.search_enriched_sql("spark"),
+        "seg_search_table": sqlgen.search_sql("table"),
+        "seg_search_and": sqlgen.search_sql("table spark"),
+        "seg_search_not": sqlgen.search_sql("table -dup"),
+        "seg_search_site": sqlgen.search_sql("table site:src3"),
         "dedup_exact": sqlgen.dedup_exact_sql(),
         "dedup_jaccard": sqlgen.dedup_jaccard_sql(),
         "dedup_minhash": sqlgen.dedup_minhash_sql(),

@@ -1,0 +1,338 @@
+"""Compressed global index: salted segment build, disk layout, manifest,
+resume.
+
+Pipeline (SURVEY §3.1 re-architecture):
+
+    postings (term_id, doc_id, title_end, positions)
+      → bucket = murmur3(term_id) % n_buckets     (term-partitioned index)
+      → salt   = murmur3(doc_id) % n_salts for hot terms (df > threshold)
+                 else 0                            (skew defeat, north rule)
+      → groupBy(bucket, salt).applyInPandas(encode kernel)
+           kernel sorts (term_id, doc_id), flattens positions, and calls
+           codec.encode_bucket — ONE vectorized varint pass per group
+      → segments rows (term_id, salt, df, ctf, blob, block_* sidecar)
+      → merge pass: hot terms' sub-segments sort-merged into one blob
+
+Disk layout (all parquet + a JSON manifest):
+
+    index_dir/meta.json            n_docs, n_buckets, n_salts, fingerprint
+    index_dir/documents/           doc store
+    index_dir/lexicon/             term_id, term, df, ctf, bucket
+    index_dir/segments/shard=K/    bucket, term_id, df, ctf, n_docs, blob,
+                                   block_last, block_max_tf, block_offsets
+    index_dir/manifest.jsonl       one row per completed shard: lineage
+                                   (input fingerprint) + metrics
+
+Shards are the resume unit: ``write_index`` skips shards whose manifest
+row is complete AND matches the input fingerprint, so an interrupted
+build restarts without recomputing finished work (north rule:
+checkpointed per-partition segment manifests with lineage + metrics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import codec
+
+SEGMENT_SCHEMA = (
+    "bucket int, term_id long, salt int, df long, ctf long, n_docs long, "
+    "blob binary, block_last array<long>, block_max_tf array<int>, "
+    "block_offsets array<long>"
+)
+
+
+def _encode_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel for one (bucket, salt) group."""
+    if len(pdf) == 0:
+        return pd.DataFrame(
+            columns=[
+                "bucket", "term_id", "salt", "df", "ctf", "n_docs",
+                "blob", "block_last", "block_max_tf", "block_offsets",
+            ]
+        )
+    pdf = pdf.sort_values(["term_id", "doc_id"], kind="mergesort", ignore_index=True)
+    pos_lists = pdf["positions"].to_numpy()
+    pos_counts = np.fromiter((len(p) for p in pos_lists), np.int64, len(pos_lists))
+    flat = (
+        np.concatenate([np.asarray(p, np.int64) for p in pos_lists])
+        if pos_counts.sum()
+        else np.empty(0, np.int64)
+    )
+    eb = codec.encode_bucket(
+        pdf["term_id"].to_numpy(np.int64),
+        pdf["doc_id"].to_numpy(np.int64),
+        pdf["title_end"].to_numpy(np.int64),
+        pos_counts,
+        flat,
+    )
+    n_terms = len(eb.term_ids)
+    return pd.DataFrame(
+        {
+            "bucket": np.full(n_terms, int(pdf["bucket"].iloc[0]), np.int32),
+            "term_id": eb.term_ids,
+            "salt": np.full(n_terms, int(pdf["salt"].iloc[0]), np.int32),
+            "df": eb.dfs,
+            "ctf": eb.ctfs,
+            "n_docs": eb.dfs,
+            "blob": eb.blobs,
+            "block_last": [a.tolist() for a in eb.block_last],
+            "block_max_tf": [a.tolist() for a in eb.block_max_tf],
+            "block_offsets": [a.tolist() for a in eb.block_offsets],
+        }
+    )
+
+
+def build_segments(
+    postings: DataFrame,
+    n_buckets: int = 64,
+    n_salts: int = 8,
+    salt_threshold: int = 250_000,
+) -> DataFrame:
+    """postings -> compressed per-term segment rows.
+
+    Hot terms (df > salt_threshold) are split into ``n_salts``
+    sub-segments by hashed doc_id so no single task encodes an entire
+    pathological posting list; ``merge_salted`` fuses them afterwards.
+    The groupBy keys (bucket, salt) give ~n_buckets×n_salts groups —
+    size n_buckets so groups ≈ 2-4× parallelism at the target scale.
+    """
+    df_per_term = postings.groupBy("term_id").agg(F.count("*").alias("_df"))
+    hot = df_per_term.filter(F.col("_df") > salt_threshold).select("term_id")
+    salted = (
+        postings.join(F.broadcast(hot.withColumn("_hot", F.lit(True))), "term_id", "left")
+        .withColumn("bucket", F.pmod(F.xxhash64("term_id"), F.lit(n_buckets)).cast("int"))
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_hot")
+    )
+    return salted.groupBy("bucket", "salt").applyInPandas(_encode_kernel, SEGMENT_SCHEMA)
+
+
+def _merge_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Merge one term's salted sub-segments (partition-local sort-merge:
+    decode each, argsort-merge by doc_id, re-encode)."""
+    if len(pdf) == 1:
+        return pdf
+    parts = [codec.decode_term_postings(b) for b in pdf["blob"]]
+    doc_ids = np.concatenate([p[0] for p in parts])
+    te = np.concatenate([p[1] for p in parts])
+    npos = np.concatenate([p[2] for p in parts])
+    # flatten each part's positions, then reorder doc-level chunks
+    order = np.argsort(doc_ids, kind="mergesort")
+    pos_parts = []
+    starts_all = []
+    off = 0
+    for p in parts:
+        s = np.zeros(p[2].size, np.int64)
+        np.cumsum(p[2][:-1], out=s[1:])
+        starts_all.append(s + off)
+        off += p[3].size
+        pos_parts.append(p[3])
+    flat = np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int64)
+    starts = np.concatenate(starts_all)
+    # gather positions in merged doc order
+    gather = np.concatenate(
+        [flat[starts[i] : starts[i] + npos[i]] for i in order]
+    ) if flat.size else flat
+    term = np.full(doc_ids.size, int(pdf["term_id"].iloc[0]), np.int64)
+    eb = codec.encode_bucket(term, doc_ids[order], te[order], npos[order], gather)
+    return pd.DataFrame(
+        {
+            "bucket": [int(pdf["bucket"].iloc[0])],
+            "term_id": eb.term_ids,
+            "salt": np.zeros(1, np.int32),
+            "df": eb.dfs,
+            "ctf": eb.ctfs,
+            "n_docs": eb.dfs,
+            "blob": eb.blobs,
+            "block_last": [eb.block_last[0].tolist()],
+            "block_max_tf": [eb.block_max_tf[0].tolist()],
+            "block_offsets": [eb.block_offsets[0].tolist()],
+        }
+    )
+
+
+def merge_salted(segments: DataFrame) -> DataFrame:
+    """Fuse multi-salt terms into single global blobs.
+
+    Only terms with >1 sub-segment (the hot, salted ones — a handful)
+    pass through the merge kernel; everything else is a zero-cost
+    passthrough, so this stage costs one broadcast semi/anti join."""
+    multi = (
+        segments.groupBy("term_id")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("term_id")
+    )
+    singles = segments.join(F.broadcast(multi), "term_id", "left_anti")
+    multis = segments.join(F.broadcast(multi), "term_id", "left_semi")
+    merged = multis.groupBy("term_id").applyInPandas(_merge_kernel, SEGMENT_SCHEMA)
+    return singles.unionByName(merged)
+
+
+@dataclass
+class IndexMeta:
+    n_docs: int
+    n_buckets: int
+    n_shards: int
+    fingerprint: str
+
+
+def corpus_fingerprint(documents: DataFrame) -> str:
+    """Order-independent corpus lineage id: count + XOR-free sum of 60-bit
+    sha256 prefixes of content (the per-row invariant column)."""
+    row = documents.agg(
+        F.count("*").alias("n"),
+        F.sum(F.conv(F.substring("content_sha256", 1, 15), 16, 10).cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]
+    return f"{row['n']}:{row['s']}"
+
+
+def _manifest_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "manifest.jsonl")
+
+
+def read_manifest(index_dir: str) -> dict[int, dict]:
+    out: dict[int, dict] = {}
+    p = _manifest_path(index_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            for line in f:
+                row = json.loads(line)
+                out[row["shard"]] = row
+    return out
+
+
+def write_index(
+    documents: DataFrame,
+    index_dir: str,
+    n_buckets: int = 64,
+    n_shards: int = 4,
+    n_salts: int = 8,
+    salt_threshold: int = 250_000,
+    with_title: bool = True,
+) -> IndexMeta:
+    """Full persisted index build with shard-level resume.
+
+    Each shard covers buckets {b : b % n_shards == shard}; a shard whose
+    manifest row is complete with a matching fingerprint is skipped on
+    re-run (kill-and-resume without recomputation).
+    """
+    from .postings import build_postings
+
+    spark = documents.sparkSession
+    os.makedirs(index_dir, exist_ok=True)
+    fp = corpus_fingerprint(documents)
+    done = {
+        s: m for s, m in read_manifest(index_dir).items()
+        if m.get("status") == "complete" and m.get("fingerprint") == fp
+    }
+
+    docs_path = os.path.join(index_dir, "documents")
+    if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
+        documents.write.mode("overwrite").parquet(docs_path)
+    docs = spark.read.parquet(docs_path)
+    n_docs = docs.count()
+
+    postings = build_postings(docs, with_title=with_title).withColumn(
+        "_bucket", F.pmod(F.xxhash64("term_id"), F.lit(n_buckets)).cast("int")
+    )
+    postings.cache()
+    try:
+        for shard in range(n_shards):
+            if shard in done:
+                continue
+            t0 = time.time()
+            part = postings.filter(F.col("_bucket") % n_shards == shard).drop("_bucket")
+            seg = merge_salted(
+                build_segments(part, n_buckets, n_salts, salt_threshold)
+            )
+            out = os.path.join(index_dir, "segments", f"shard={shard}")
+            seg.write.mode("overwrite").parquet(out)
+            written = spark.read.parquet(out)
+            stats = written.agg(
+                F.count("*").alias("n_terms"),
+                F.sum("df").alias("n_postings"),
+                F.sum(F.length("blob")).alias("blob_bytes"),
+            ).collect()[0]
+            with open(_manifest_path(index_dir), "a") as f:
+                f.write(
+                    json.dumps(
+                        {
+                            "shard": shard,
+                            "status": "complete",
+                            "fingerprint": fp,
+                            "n_terms": stats["n_terms"],
+                            "n_postings": int(stats["n_postings"] or 0),
+                            "blob_bytes": int(stats["blob_bytes"] or 0),
+                            "wall_ms": int((time.time() - t0) * 1000),
+                        }
+                    )
+                    + "\n"
+                )
+        # lexicon derives from final segments (df/ctf already aggregated)
+        seg_all = spark.read.option("basePath", os.path.join(index_dir, "segments")).parquet(
+            os.path.join(index_dir, "segments")
+        )
+        from ..functions.tokenizer import ids_to_terms  # noqa: F401  (doc link)
+        from .postings import _term_str
+
+        lex = seg_all.select(
+            "term_id", "df", "ctf", "bucket"
+        ).withColumn("term", _term_str(F.col("term_id")))
+        lex.write.mode("overwrite").parquet(os.path.join(index_dir, "lexicon"))
+    finally:
+        postings.unpersist()
+
+    meta = {
+        "n_docs": n_docs,
+        "n_buckets": n_buckets,
+        "n_shards": n_shards,
+        "fingerprint": fp,
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return IndexMeta(n_docs, n_buckets, n_shards, fp)
+
+
+@dataclass
+class DiskIndex:
+    spark: SparkSession
+    index_dir: str
+    meta: IndexMeta
+
+    @property
+    def documents(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "documents"))
+
+    @property
+    def lexicon(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "lexicon"))
+
+    @property
+    def segments(self) -> DataFrame:
+        return self.spark.read.option(
+            "basePath", os.path.join(self.index_dir, "segments")
+        ).parquet(os.path.join(self.index_dir, "segments"))
+
+
+def load_index(spark: SparkSession, index_dir: str) -> DiskIndex:
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        m = json.load(f)
+    return DiskIndex(
+        spark, index_dir, IndexMeta(m["n_docs"], m["n_buckets"], m["n_shards"], m["fingerprint"])
+    )

@@ -1,0 +1,312 @@
+"""Query execution over the compressed segment index.
+
+Two query paths:
+
+- ``search_segments`` — the reference-semantics pipeline (SURVEY §3.2)
+  over delta+varint blobs: conjunctive intersection per keyword
+  (numpy ``intersect1d`` over sorted doc arrays — the vectorized
+  equivalent of the Go leapfrog, search.go:215-238), AND/NOT folds,
+  site filter, 50-lowest-docId truncation, TF-IDF + phrase/title
+  boosts (search.go:248-267, 419-429). Blob bytes for the query's
+  terms are fetched via a bucket-pruned + term-filtered parquet scan
+  (partition pruning on ``shard``/``bucket``; predicate pushdown on
+  ``term_id``), the Spark analog of the reference's point KV gets.
+
+- ``topk_wand`` — score-ordered top-k with block-max pruning (north
+  rule; ABSENT in the reference, which scores exhaustively). Semantics:
+  disjunctive BM25-style S = Σ_t (1+ln tf_t)·ln(N/df_t) over the query
+  terms (no phrase/title boosts — bounds for the boosted score are not
+  tight enough to prune; the boosted rerank applies to the final k).
+  Implementation: elementary doc-range segments from all terms' block
+  boundaries, each with an upper bound Σ_t (1+ln block_max_tf)·idf_t;
+  segments visited in descending bound order, decoding blocks lazily
+  (``codec.slice_blocks``) and stopping as soon as the best remaining
+  bound cannot beat the running k-th score — every skipped block's
+  bytes are never touched.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import codec
+from ..functions.tokenizer import tokenize_query
+from .search import parse_query
+from .segments import DiskIndex
+
+PER_SHARD_LIMIT = 50
+
+
+@dataclass
+class TermSegment:
+    term_id: int
+    df: int
+    blob: bytes
+    block_last: np.ndarray
+    block_max_tf: np.ndarray
+    block_offsets: np.ndarray
+    _decoded: tuple | None = None
+    _pos_starts: np.ndarray | None = None
+
+    def decode(self):
+        if self._decoded is None:
+            self._decoded = codec.decode_term_postings(self.blob)
+        return self._decoded  # (doc_ids, title_ends, npos, positions_flat)
+
+    def pos_starts(self) -> np.ndarray:
+        if self._pos_starts is None:
+            npos = self.decode()[2]
+            s = np.zeros(npos.size, np.int64)
+            np.cumsum(npos[:-1], out=s[1:])
+            self._pos_starts = s
+        return self._pos_starts
+
+
+def fetch_term_segments(di: DiskIndex, term_ids: list[int]) -> dict[int, TermSegment]:
+    """Bucket-pruned, term-filtered segment fetch for a query's terms."""
+    if not term_ids:
+        return {}
+    lex = (
+        di.lexicon.filter(F.col("term_id").isin(term_ids))
+        .select("term_id", "bucket")
+        .collect()
+    )
+    if not lex:
+        return {}
+    buckets = sorted({r["bucket"] for r in lex})
+    rows = (
+        di.segments.filter(
+            F.col("bucket").isin(buckets) & F.col("term_id").isin(term_ids)
+        )
+        .select("term_id", "df", "blob", "block_last", "block_max_tf", "block_offsets")
+        .collect()
+    )
+    return {
+        r["term_id"]: TermSegment(
+            r["term_id"],
+            r["df"],
+            bytes(r["blob"]),
+            np.array(r["block_last"], np.int64),
+            np.array(r["block_max_tf"], np.int64),
+            np.array(r["block_offsets"], np.int64),
+        )
+        for r in rows
+    }
+
+
+def _keyword_candidates(segs: dict[int, TermSegment], keyword: str) -> np.ndarray | None:
+    """Conjunctive doc set for one keyword; None => keyword unanswerable."""
+    qtokens = tokenize_query(keyword)
+    if not qtokens:
+        return None
+    arrs = []
+    for tid, _ in qtokens:
+        if tid not in segs:
+            return None
+        arrs.append(segs[tid].decode()[0])
+    arrs.sort(key=len)  # rarest-first (search.go:193-196)
+    cand = arrs[0]
+    for a in arrs[1:]:
+        if cand.size == 0:
+            break
+        cand = cand[np.isin(cand, a, assume_unique=True)]
+    return cand
+
+
+def _field_slices(seg: TermSegment, doc_idx: int):
+    _, te, npos, pos = seg.decode()
+    s, n, t = seg.pos_starts()[doc_idx], npos[doc_idx], te[doc_idx]
+    all_pos = pos[s : s + n]
+    return all_pos[:t], all_pos[t:]
+
+
+def _score_docs(
+    segs: dict[int, TermSegment], keyword: str, docs: np.ndarray, n_docs_corpus: int
+) -> np.ndarray:
+    """Reference scoring for the given docs (search.go:248-267, 419-429)."""
+    qtokens = tokenize_query(keyword)
+    term_ids = [t for t, _ in qtokens]
+    cursors = [(tid, b) for tid, bases in qtokens for b in bases]
+    # S = sum over distinct terms
+    S = np.zeros(docs.size)
+    idxs: dict[int, np.ndarray] = {}
+    for tid in term_ids:
+        seg = segs[tid]
+        doc_ids, _, npos, _ = seg.decode()
+        idx = np.searchsorted(doc_ids, docs)
+        idxs[tid] = idx
+        tf = npos[idx].astype(np.float64)
+        S += (1.0 + np.log(tf)) * math.log(n_docs_corpus / seg.df)
+    scores = np.zeros(docs.size)
+    for i in range(docs.size):
+        for title in (True, False):
+            aligned = None
+            for tid, base in cursors:
+                tpos, bpos = _field_slices(segs[tid], idxs[tid][i])
+                fpos = (tpos if title else bpos) - base
+                aligned = fpos if aligned is None else np.intersect1d(aligned, fpos)
+                if aligned.size == 0:
+                    break
+            pc = aligned.size if aligned is not None else 0
+            part = S[i]
+            if pc > 0:
+                part *= 3.0 + math.log(pc)
+            if title:
+                part *= 3.0
+            scores[i] += part
+    return scores
+
+
+def search_segments(
+    di: DiskIndex, query: str, per_shard: int = PER_SHARD_LIMIT
+) -> DataFrame:
+    """Reference-semantics search over the compressed disk index.
+
+    Returns a DataFrame (doc_id, score, rank) ranked score desc /
+    doc_id asc after the 50-lowest-docId truncation (engine.go:65 →
+    web/service/search.go:192-203, intended AND semantics SURVEY §7.4.4).
+    """
+    spark = di.spark
+    empty = spark.createDataFrame([], "doc_id long, score double, rank long")
+    pq = parse_query(query)
+    if not pq.keywords:
+        return empty
+
+    need: set[int] = set()
+    for kw in pq.keywords + pq.exclusions:
+        need.update(t for t, _ in tokenize_query(kw))
+    segs = fetch_term_segments(di, sorted(need))
+
+    base = _keyword_candidates(segs, pq.keywords[0])
+    if base is None:
+        return empty
+    for kw in pq.keywords[1:]:
+        nxt = _keyword_candidates(segs, kw)
+        if nxt is None:
+            return empty
+        base = base[np.isin(base, nxt, assume_unique=True)]
+    for ex in pq.exclusions:
+        drop = _keyword_candidates(segs, ex)
+        if drop is not None:
+            base = base[~np.isin(base, drop, assume_unique=True)]
+    if pq.site:
+        allowed = np.array(
+            [
+                r["doc_id"]
+                for r in di.documents.filter(F.col("url").endswith(pq.site))
+                .select("doc_id")
+                .collect()
+            ],
+            np.int64,
+        )
+        base = base[np.isin(base, allowed)]
+    base = base[:per_shard]  # candidates are docId-ascending already
+    if base.size == 0:
+        return empty
+    scores = _score_docs(segs, pq.keywords[0], base, di.meta.n_docs)
+    order = np.lexsort((base, -scores))
+    rows = [
+        (int(base[i]), float(scores[i]), rank + 1)
+        for rank, i in enumerate(order)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double, rank long")
+
+
+# --------------------------------------------------------------------------
+# Block-max pruned top-k (disjunctive S scoring)
+# --------------------------------------------------------------------------
+
+
+def topk_exhaustive(di: DiskIndex, query: str, k: int = 10) -> list[tuple[int, float]]:
+    """Exhaustive disjunctive top-k by S — the oracle for topk_wand."""
+    qtokens = tokenize_query(query)
+    segs = fetch_term_segments(di, [t for t, _ in qtokens])
+    acc: dict[int, float] = {}
+    for tid in segs:
+        seg = segs[tid]
+        doc_ids, _, npos, _ = seg.decode()
+        idf = math.log(di.meta.n_docs / seg.df)
+        contrib = (1.0 + np.log(npos.astype(np.float64))) * idf
+        for d, c in zip(doc_ids.tolist(), contrib.tolist()):
+            acc[d] = acc.get(d, 0.0) + c
+    return sorted(acc.items(), key=lambda x: (-x[1], x[0]))[:k]
+
+
+def topk_wand(di: DiskIndex, query: str, k: int = 10) -> list[tuple[int, float]]:
+    """Block-max pruned top-k: [(doc_id, S)] — equals topk_exhaustive.
+
+    Also records pruning stats on the function attribute ``last_stats``.
+    """
+    qtokens = tokenize_query(query)
+    segs = fetch_term_segments(di, [t for t, _ in qtokens])
+    if not segs:
+        topk_wand.last_stats = {"blocks_total": 0, "blocks_decoded": 0}
+        return []
+    term_list = list(segs.values())
+    n_corpus = di.meta.n_docs
+
+    # elementary doc-range segments from all block boundaries
+    idfs = {s.term_id: math.log(n_corpus / s.df) for s in term_list}
+    breakpoints = np.unique(np.concatenate([s.block_last for s in term_list]))
+    seg_hi = breakpoints  # inclusive
+    seg_lo = np.empty_like(seg_hi)
+    seg_lo[0] = 0
+    seg_lo[1:] = seg_hi[:-1] + 1
+
+    # per range, per term: overlapping block index (or -1)
+    bounds = np.zeros(seg_hi.size)
+    blk_of = {}
+    for s in term_list:
+        bi = np.searchsorted(s.block_last, seg_lo, side="left")
+        in_range = bi < s.block_last.size
+        ub = np.zeros(seg_hi.size)
+        valid = in_range.copy()
+        bi_c = np.clip(bi, 0, s.block_last.size - 1)
+        ub[valid] = (1.0 + np.log(s.block_max_tf[bi_c[valid]].astype(np.float64))) * idfs[s.term_id]
+        bounds += ub
+        blk_of[s.term_id] = np.where(in_range, bi_c, -1)
+
+    order = np.argsort(-bounds, kind="mergesort")
+    top: list[tuple[float, int]] = []  # (score, doc)
+    theta = -math.inf
+    decoded: dict[tuple[int, int], tuple] = {}
+    blocks_decoded = 0
+    blocks_total = int(sum(s.block_last.size for s in term_list))
+
+    for r in order:
+        if bounds[r] < theta and len(top) >= k:
+            break  # every remaining range is strictly bounded below theta
+        lo, hi = int(seg_lo[r]), int(seg_hi[r])
+        doc_acc: dict[int, float] = {}
+        for s in term_list:
+            b = int(blk_of[s.term_id][r])
+            if b < 0:
+                continue
+            key = (s.term_id, b)
+            if key not in decoded:
+                decoded[key] = codec.slice_blocks(
+                    s.blob, s.block_offsets, int(s.df), b, b + 1
+                )
+                blocks_decoded += 1
+            doc_ids, _, npos, _ = decoded[key]
+            m = (doc_ids >= lo) & (doc_ids <= hi)
+            if not m.any():
+                continue
+            contrib = (1.0 + np.log(npos[m].astype(np.float64))) * idfs[s.term_id]
+            for d, c in zip(doc_ids[m].tolist(), contrib.tolist()):
+                doc_acc[d] = doc_acc.get(d, 0.0) + c
+        for d, sc in doc_acc.items():
+            top.append((sc, d))
+        if len(top) > k:
+            top.sort(key=lambda x: (-x[0], x[1]))
+            del top[k:]
+        if len(top) >= k:
+            theta = top[-1][0]
+    top.sort(key=lambda x: (-x[0], x[1]))
+    topk_wand.last_stats = {"blocks_total": blocks_total, "blocks_decoded": blocks_decoded}
+    return [(d, sc) for sc, d in top[:k]]
