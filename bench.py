@@ -52,17 +52,32 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    # --- index build (tokenize -> postings -> lexicon, fully materialized) --
+    # --- index build: the full persisted product (tokenize -> map-side
+    # postings -> salted segments + manifest + lexicon on disk) ------------
+    import shutil
+    import tempfile
+
+    from search_engine_spark.operators.segments import load_index, write_index
+    from search_engine_spark.operators.wand import search_segments, topk_wand
+
     docs = build_documents_from_testdata(spark, args.sf_dir).cache()
     n_docs = docs.count()
+    index_dir = tempfile.mkdtemp(prefix="bench_index_") + "/idx"
     t0 = time.time()
-    index = build_index(docs)
-    n_postings = index.postings.count()  # forces the tokenize+agg pipeline
-    index.lexicon.count()
+    write_index(docs, index_dir, n_buckets=32, n_shards=2, n_salts=4, salt_threshold=100_000)
     build_sec = time.time() - t0
     timings["index_build"] = round(build_sec, 3)
+    di = load_index(spark, index_dir)
 
-    # --- query side ----------------------------------------------------------
+    # in-memory logical index (DataFrame query path, for comparison)
+    t0 = time.time()
+    index = build_index(docs)
+    n_postings = index.postings.count()
+    index.lexicon.count()
+    timings["index_build_logical"] = round(time.time() - t0, 3)
+
+    # --- query side: compressed blob path (the product query engine) -------
+    search_segments(di, "table").collect()  # warm the segment reader path
     for qname, q in [
         ("q_single", "table"),
         ("q_and", "table spark"),
@@ -70,7 +85,9 @@ def main() -> None:
         ("q_site", "spark site:src3"),
         ("q_rare", "dup"),
     ]:
-        timed(qname, lambda q=q: search(index, q).collect())
+        timed(qname, lambda q=q: search_segments(di, q).collect())
+    timed("q_wand_topk", lambda: topk_wand(di, "customer query", 10))
+    timed("q_df_single", lambda: search(index, "table").collect())
 
     # --- training-data ops ----------------------------------------------------
     raw = spark.read.parquet(f"{args.sf_dir}/documents.parquet").cache()
@@ -83,6 +100,7 @@ def main() -> None:
     timed("embed_knn", lambda: SIM.cosine_topk(emb, query_vec_id=0).collect())
     timed("text_quality", lambda: TS.quality_score(raw).collect())
 
+    shutil.rmtree(os.path.dirname(index_dir), ignore_errors=True)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

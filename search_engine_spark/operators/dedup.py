@@ -142,23 +142,30 @@ def minhash_band_keys(
 ) -> DataFrame:
     """LSH band keys: (doc_id, band, band_hash).
 
-    band_hash = md5 of the band's minhashes joined by ',' in seed order
-    (seed order enforced by sorting (seed, minhash) structs — numeric on
-    seed, matching the oracle's ``ORDER BY seed``).
+    All ``num_hashes`` minima are computed as parallel aggregates in ONE
+    groupBy over the distinct-shingle rows — no seed explode, so the
+    shuffle moves |shingles| rows instead of |shingles|×K. band_hash =
+    md5 of the band's minhashes joined by ',' in seed order (identical
+    to the oracle's ``string_agg(h, ',' ORDER BY s)``).
     """
-    mh = minhash_signatures(documents, num_hashes, n, text_col, id_col)
-    banded = mh.withColumn("band", (F.col("seed") / band_size).cast("int"))
-    ordered = F.array_join(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-            lambda s: s["minhash"],
-        ),
-        ",",
-    )
-    return (
-        banded.groupBy("doc_id", "band")
-        .agg(F.md5(ordered).alias("band_hash"))
-    )
+    sh = word_shingles(documents, n=n, text_col=text_col, id_col=id_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"_h{s}")
+        for s in range(num_hashes)
+    ]
+    mh = sh.groupBy("doc_id").agg(*aggs)
+    bands = []
+    for b in range(num_hashes // band_size):
+        cols = [F.col(f"_h{b * band_size + i}") for i in range(band_size)]
+        bands.append(
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_hash"),
+            )
+        )
+    return mh.select(
+        "doc_id", F.explode(F.array(*bands)).alias("_bb")
+    ).select("doc_id", F.col("_bb.band").alias("band"), F.col("_bb.band_hash").alias("band_hash"))
 
 
 def minhash_candidate_pairs(

@@ -88,10 +88,32 @@ def tokenize(documents: DataFrame, with_title: bool = True) -> DataFrame:
 def build_postings(documents: DataFrame, with_title: bool = True) -> DataFrame:
     """documents -> postings (term_id, doc_id, title_end, positions).
 
-    The groupBy is a single shuffle on (term_id, doc_id); Catalyst performs
-    partial aggregation map-side (the analog of the reference's merger
-    buffer, indexer.go:241-260, without the hand-rolled flush threshold).
+    Map-side construction: ONE mapInArrow pass tokenizes and groups each
+    doc's tokens into postings rows (numpy sort + run-length group, Arrow
+    ListArray output) — no shuffle at all. This is the Spark analog of
+    the reference's per-doc textToInvertedIndex (indexer.go:85-94); the
+    reference's merger/flusher shuffle work (indexer.go:241-283) only
+    remains where it is genuinely needed, in the per-term segment and
+    lexicon aggregations downstream.
     """
+    from functools import partial as _partial
+
+    from ..functions.tokenizer import postings_batches_arrow
+
+    cols = ("title", "body") if with_title else ("body",)
+    kernel = _partial(postings_batches_arrow, text_cols=cols)
+    inp = documents.select("doc_id", *cols)
+    return inp.mapInArrow(
+        kernel,
+        schema="doc_id long, term_id long, title_end int, positions array<int>",
+    )
+
+
+def build_postings_shuffle(documents: DataFrame, with_title: bool = True) -> DataFrame:
+    """Shuffle-based postings build (explode -> groupBy) kept as the
+    cross-check twin of the map-side kernel; the analog of the
+    reference's merger buffer (indexer.go:241-260) done by Catalyst
+    partial+final aggregation."""
     tok = tokenize(documents, with_title=with_title)
     tpos = F.sort_array(F.collect_list(F.when(F.col("is_title"), F.col("pos"))))
     bpos = F.sort_array(F.collect_list(F.when(~F.col("is_title"), F.col("pos"))))

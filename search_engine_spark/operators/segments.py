@@ -311,23 +311,32 @@ def write_index(
 
 @dataclass
 class DiskIndex:
+    """Handle to a persisted index. DataFrame handles are created once
+    (file listing + schema resolution are not free) — the disk analog of
+    the reference's LRU-fronted BoltDB accessors (boltdb-index.go:82-113)."""
+
     spark: SparkSession
     index_dir: str
     meta: IndexMeta
 
+    def __post_init__(self) -> None:
+        self._documents = self.spark.read.parquet(os.path.join(self.index_dir, "documents"))
+        self._lexicon = self.spark.read.parquet(os.path.join(self.index_dir, "lexicon"))
+        self._segments = self.spark.read.option(
+            "basePath", os.path.join(self.index_dir, "segments")
+        ).parquet(os.path.join(self.index_dir, "segments"))
+
     @property
     def documents(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "documents"))
+        return self._documents
 
     @property
     def lexicon(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "lexicon"))
+        return self._lexicon
 
     @property
     def segments(self) -> DataFrame:
-        return self.spark.read.option(
-            "basePath", os.path.join(self.index_dir, "segments")
-        ).parquet(os.path.join(self.index_dir, "segments"))
+        return self._segments
 
 
 def load_index(spark: SparkSession, index_dir: str) -> DiskIndex:

@@ -68,17 +68,19 @@ class TermSegment:
 
 
 def fetch_term_segments(di: DiskIndex, term_ids: list[int]) -> dict[int, TermSegment]:
-    """Bucket-pruned, term-filtered segment fetch for a query's terms."""
+    """Bucket-pruned, term-filtered segment fetch for a query's terms.
+
+    The bucket of each term is computed DRIVER-SIDE with the xxhash64
+    reimplementation (Spark parity, functions/xxhash.py), so the fetch is
+    a single job whose parquet scan prunes to the query's buckets
+    (partition/row-group pruning) and pushes the term_id filter down —
+    the scan-S3 analog of the reference's point KV gets
+    (boltdb-index.go:130-132)."""
     if not term_ids:
         return {}
-    lex = (
-        di.lexicon.filter(F.col("term_id").isin(term_ids))
-        .select("term_id", "bucket")
-        .collect()
-    )
-    if not lex:
-        return {}
-    buckets = sorted({r["bucket"] for r in lex})
+    from ..functions.xxhash import bucket_of_term
+
+    buckets = sorted({bucket_of_term(t, di.meta.n_buckets) for t in term_ids})
     rows = (
         di.segments.filter(
             F.col("bucket").isin(buckets) & F.col("term_id").isin(term_ids)
@@ -210,11 +212,18 @@ def search_segments(
         return empty
     scores = _score_docs(segs, pq.keywords[0], base, di.meta.n_docs)
     order = np.lexsort((base, -scores))
-    rows = [
-        (int(base[i]), float(scores[i]), rank + 1)
-        for rank, i in enumerate(order)
-    ]
-    return spark.createDataFrame(rows, "doc_id long, score double, rank long")
+    import pandas as pd
+
+    # pandas -> Arrow LocalRelation: the result is driver-local, no job
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": base[order],
+                "score": scores[order],
+                "rank": np.arange(1, order.size + 1, dtype=np.int64),
+            }
+        )
+    )
 
 
 # --------------------------------------------------------------------------
