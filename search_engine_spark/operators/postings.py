@@ -61,7 +61,13 @@ def build_documents_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame
     """Driver testdata ``documents.parquet`` (doc_id, text, lang, source,
     n_chars) -> engine documents shape: text is the body, title empty,
     ``source`` plays the site/host role."""
-    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # The local testdata is ONE parquet file → one input split; repartition
+    # to the session's parallelism so the tokenize/shingle map stages use
+    # every core. (On a real multi-file corpus the scan already yields
+    # thousands of splits and this shuffle is a near-no-op rebalance.)
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return raw.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("source").alias("url"),

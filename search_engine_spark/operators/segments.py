@@ -122,16 +122,19 @@ def build_segments(
     return salted.groupBy("bucket", "salt").applyInPandas(_encode_kernel, SEGMENT_SCHEMA)
 
 
-def _merge_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Merge one term's salted sub-segments (partition-local sort-merge:
-    decode each, argsort-merge by doc_id, re-encode)."""
-    if len(pdf) == 1:
-        return pdf
-    parts = [codec.decode_term_postings(b) for b in pdf["blob"]]
+def merge_decoded_parts(
+    parts: list[tuple],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Sort-merge several decoded postings parts of ONE term by doc_id.
+
+    Each part is ``(doc_ids, title_ends, npos, positions_flat)`` (the
+    ``codec.decode_term_postings`` shape). Returns the same shape, merged.
+    Used by the salted-segment merge and by the multi-generation read path
+    of the streaming index (LSM-style read-merge).
+    """
     doc_ids = np.concatenate([p[0] for p in parts])
     te = np.concatenate([p[1] for p in parts])
     npos = np.concatenate([p[2] for p in parts])
-    # flatten each part's positions, then reorder doc-level chunks
     order = np.argsort(doc_ids, kind="mergesort")
     pos_parts = []
     starts_all = []
@@ -144,12 +147,23 @@ def _merge_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pos_parts.append(p[3])
     flat = np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int64)
     starts = np.concatenate(starts_all)
-    # gather positions in merged doc order
-    gather = np.concatenate(
-        [flat[starts[i] : starts[i] + npos[i]] for i in order]
-    ) if flat.size else flat
+    gather = (
+        np.concatenate([flat[starts[i] : starts[i] + npos[i]] for i in order])
+        if flat.size
+        else flat
+    )
+    return doc_ids[order], te[order], npos[order], gather
+
+
+def _merge_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Merge one term's salted sub-segments (partition-local sort-merge:
+    decode each, argsort-merge by doc_id, re-encode)."""
+    if len(pdf) == 1:
+        return pdf
+    parts = [codec.decode_term_postings(b) for b in pdf["blob"]]
+    doc_ids, te, npos, gather = merge_decoded_parts(parts)
     term = np.full(doc_ids.size, int(pdf["term_id"].iloc[0]), np.int64)
-    eb = codec.encode_bucket(term, doc_ids[order], te[order], npos[order], gather)
+    eb = codec.encode_bucket(term, doc_ids, te, npos, gather)
     return pd.DataFrame(
         {
             "bucket": [int(pdf["bucket"].iloc[0])],

@@ -88,17 +88,41 @@ def fetch_term_segments(di: DiskIndex, term_ids: list[int]) -> dict[int, TermSeg
         .select("term_id", "df", "blob", "block_last", "block_max_tf", "block_offsets")
         .collect()
     )
-    return {
-        r["term_id"]: TermSegment(
-            r["term_id"],
-            r["df"],
-            bytes(r["blob"]),
-            np.array(r["block_last"], np.int64),
-            np.array(r["block_max_tf"], np.int64),
-            np.array(r["block_offsets"], np.int64),
-        )
-        for r in rows
-    }
+    by_term: dict[int, list] = {}
+    for r in rows:
+        by_term.setdefault(r["term_id"], []).append(r)
+    out: dict[int, TermSegment] = {}
+    for tid, rs in by_term.items():
+        if len(rs) == 1:
+            r = rs[0]
+            out[tid] = TermSegment(
+                tid,
+                r["df"],
+                bytes(r["blob"]),
+                np.array(r["block_last"], np.int64),
+                np.array(r["block_max_tf"], np.int64),
+                np.array(r["block_offsets"], np.int64),
+            )
+        else:
+            # streaming index: one row per generation — LSM-style
+            # read-merge of the (few, query-term-only) parts, re-encoded
+            # so block-max pruning metadata stays consistent.
+            from .segments import merge_decoded_parts
+
+            parts = [codec.decode_term_postings(bytes(r["blob"])) for r in rs]
+            doc_ids, te, npos, flat = merge_decoded_parts(parts)
+            eb = codec.encode_bucket(
+                np.full(doc_ids.size, tid, np.int64), doc_ids, te, npos, flat
+            )
+            out[tid] = TermSegment(
+                tid,
+                int(eb.dfs[0]),
+                bytes(eb.blobs[0]),
+                eb.block_last[0].astype(np.int64),
+                eb.block_max_tf[0].astype(np.int64),
+                eb.block_offsets[0].astype(np.int64),
+            )
+    return out
 
 
 def _keyword_candidates(segs: dict[int, TermSegment], keyword: str) -> np.ndarray | None:

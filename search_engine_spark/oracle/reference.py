@@ -129,6 +129,88 @@ class OracleIndex:
             out[doc_id] = score
         return out
 
+    # -- highlight side (search.go:102-166, 342-403) ------------------------
+    def _cursor_positions(self, keyword: str, doc_id: int, title: bool) -> list[list[int]]:
+        """One position-list per phrase cursor — per (token, query-base)
+        occurrence, duplicated like Go's phraseSearchCursor array
+        (search.go:285-301)."""
+        out = []
+        for term, bases in self._query_tokens(keyword):
+            p = self.postings[term][doc_id]
+            fpos = p.positions[: p.title_end] if title else p.positions[p.title_end :]
+            for _ in bases:
+                out.append(list(fpos))
+        return out
+
+    @staticmethod
+    def find_highlight(cursor_positions: list[list[int]]) -> list[list[int]]:
+        """Verbatim findHighlight (search.go:344-403): width-2 intervals,
+        in-place merge loop, max-length window with the actual >100
+        expansion condition."""
+        if sum(len(c) for c in cursor_positions) == 0:
+            return []
+        intervals = [[pos, pos + 1] for c in cursor_positions for pos in c]
+        intervals.sort(key=lambda iv: iv[0])
+        pos = 0
+        for i in range(1, len(intervals)):
+            if intervals[i][0] - intervals[i - 1][1] <= 1:
+                intervals[pos][1] = intervals[i][1]
+            else:
+                pos += 1
+                intervals[pos] = intervals[i][:]
+        intervals = intervals[: pos + 1]
+
+        def LEN(i: int, j: int) -> int:
+            return intervals[j][1] - intervals[i][0] + 1
+
+        max_len = max_idx = 0
+        for i in range(len(intervals)):
+            if max_len < LEN(i, i):
+                max_len, max_idx = LEN(i, i), i
+        i = j = max_idx
+        while LEN(i, j) > 100 and (i > 0 or j < len(intervals) - 1):
+            len1 = LEN(i - 1, i - 1) if i > 0 else 0
+            len2 = LEN(j + 1, j + 1) if j < len(intervals) - 1 else 0
+            if len1 > len2:
+                i -= 1
+            else:
+                j += 1
+        return intervals[i : j + 1]
+
+    def apply_highlight(
+        self, keyword: str, doc_id: int, title: str, body: str
+    ) -> tuple[str, str]:
+        """applyHighlight for one item (search.go:108-166) →
+        (title_highlighted, abstract). Rune-slice fallback divergence
+        (§7.4.4c)."""
+        pre, suf = "<span style='color:red'>", "</span>"
+
+        def inject(text: str, hls: list[list[int]]) -> str:
+            b, p = [], 0
+            for h0, h1 in hls:
+                b += [text[p:h0], pre, text[h0 : h1 + 1], suf]
+                p = h1 + 1
+            if p < len(text):
+                b.append(text[p:])
+            return "".join(b)
+
+        bh = self.find_highlight(self._cursor_positions(keyword, doc_id, False))
+        if bh:
+            start, end = bh[0][0], bh[-1][1]
+            span = end - start + 1
+            padding = (100 - span) // 2 if span <= 100 else -((span - 100) // 2)
+            start = max(start - padding, 0)
+            if start - padding >= 0:
+                end = min(len(body), end + padding)
+            else:
+                end = min(len(body), end + padding - start)
+            abstract = inject(body[start:end], [[a - start, b_ - start] for a, b_ in bh])
+        else:
+            abstract = body[: min(100, len(body))]
+        th = self.find_highlight(self._cursor_positions(keyword, doc_id, True))
+        title_out = inject(title, th) if th else title
+        return title_out, abstract
+
     def search(self, query: str, per_shard: int = 50) -> list[tuple[int, float]]:
         """Full pipeline → [(doc_id, score)] ranked (engine.go:43-69 +
         web/service/search.go:192-203, intended AND semantics)."""

@@ -1,0 +1,230 @@
+"""Structured Streaming ingest: continuous index build + windowed events.
+
+The reference's ingest is an unbounded HTTP push feed consumed by worker
+pools with a batched flush every 1000 docs (``index/core/indexer.go:
+224-283``, SURVEY §2.10) — operationally a micro-batch stream. This module
+is the Spark-idiomatic twin:
+
+- ``stream_documents`` + ``start_incremental_index``: readStream →
+  foreachBatch. Every micro-batch becomes an immutable segment
+  GENERATION under ``segments/gen=<batch_id>/`` (the LSM analog of the
+  reference's flush; its read-merge-write BoltDB upsert becomes
+  append-only writes + read-merge at query time + explicit compaction).
+  The query path (``wand.fetch_term_segments``) merges a term's
+  generations on fetch, so the index is searchable at any moment without
+  blocking ingest.
+- ``compact_index``: fold all generations into one (periodic maintenance
+  job — the analog of a full merge; bounded by groupBy(term_id) +
+  partition-local sort-merge, same kernel as the salted-segment merge).
+- ``windowed_event_counts``: watermarked tumbling-window aggregation —
+  the streaming twin of ``operators/events.hourly_event_stats`` (same
+  output schema, late rows beyond the watermark dropped).
+
+Exactly-once notes: foreachBatch gives at-least-once; the per-generation
+directory is keyed by ``batch_id``, so a replayed batch OVERWRITES its own
+generation (idempotent), and ``meta.json`` is recomputed from the
+manifest rather than incremented (no double counting).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.postings import build_postings
+from ..operators.segments import (
+    build_segments,
+    corpus_fingerprint,
+    merge_salted,
+    _manifest_path,
+)
+
+DOCUMENTS_SCHEMA = (
+    "doc_id long, url string, title string, body string, content_sha256 string"
+)
+
+
+def stream_documents(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-arrival document stream in the engine's documents shape.
+
+    Each newly arriving parquet file under ``source_dir`` is one (or part
+    of one) micro-batch — the stand-in for the reference's HTTP PUT feed
+    (``index/api/api.go:68-91``)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def _write_meta(index_dir: str, n_buckets: int) -> None:
+    """Recompute meta.json from the generation manifest (idempotent)."""
+    gens: dict[int, dict] = {}
+    if os.path.exists(_manifest_path(index_dir)):
+        with open(_manifest_path(index_dir)) as f:
+            for line in f:
+                row = json.loads(line)
+                if "gen" in row:
+                    gens[row["gen"]] = row  # last write per gen wins
+    n_docs = sum(g["n_docs"] for g in gens.values())
+    meta = {
+        "n_docs": n_docs,
+        "n_buckets": n_buckets,
+        "n_shards": 1,
+        "fingerprint": "streaming:" + ":".join(
+            g.get("fingerprint", "?") for _, g in sorted(gens.items())
+        ),
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    n_buckets: int = 16,
+    n_salts: int = 4,
+    salt_threshold: int = 250_000,
+) -> None:
+    """foreachBatch body: one micro-batch -> one segment generation."""
+    spark = batch_df.sparkSession
+    t0 = time.time()
+    batch_df = batch_df.cache()
+    n = batch_df.count()
+    if n == 0:
+        batch_df.unpersist()
+        return
+    fp = corpus_fingerprint(batch_df)
+    seg = merge_salted(
+        build_segments(build_postings(batch_df), n_buckets, n_salts, salt_threshold)
+    )
+    gen_dir = os.path.join(index_dir, "segments", f"gen={batch_id}")
+    seg.write.mode("overwrite").parquet(gen_dir)  # replay-idempotent
+    batch_df.write.mode("append").parquet(os.path.join(index_dir, "documents"))
+    stats = spark.read.parquet(gen_dir).agg(
+        F.count("*").alias("n_terms"), F.sum("df").alias("n_postings")
+    ).collect()[0]
+    os.makedirs(index_dir, exist_ok=True)
+    with open(_manifest_path(index_dir), "a") as f:
+        f.write(
+            json.dumps(
+                {
+                    "gen": batch_id,
+                    "status": "complete",
+                    "fingerprint": fp,
+                    "n_docs": n,
+                    "n_terms": stats["n_terms"],
+                    "n_postings": int(stats["n_postings"] or 0),
+                    "wall_ms": int((time.time() - t0) * 1000),
+                }
+            )
+            + "\n"
+        )
+    _write_meta(index_dir, n_buckets)
+    _write_gen_lexicon(spark, index_dir)
+    batch_df.unpersist()
+
+
+def _write_gen_lexicon(spark: SparkSession, index_dir: str) -> None:
+    """Global lexicon = per-term sum over generations (small: one row per
+    distinct term)."""
+    from ..operators.postings import _term_str
+
+    seg_all = spark.read.option(
+        "basePath", os.path.join(index_dir, "segments")
+    ).parquet(os.path.join(index_dir, "segments"))
+    lex = (
+        seg_all.groupBy("term_id", "bucket")
+        .agg(F.sum("df").alias("df"), F.sum("ctf").alias("ctf"))
+        .withColumn("term", _term_str(F.col("term_id")))
+    )
+    tmp = os.path.join(index_dir, "_lexicon_tmp")
+    final = os.path.join(index_dir, "lexicon")
+    lex.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+
+
+def start_incremental_index(
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str | None = None,
+    n_buckets: int = 16,
+    n_salts: int = 4,
+    salt_threshold: int = 250_000,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the continuous index build. ``available_now=True`` drains the
+    current backlog then stops (batch-test mode); False runs forever."""
+    os.makedirs(index_dir, exist_ok=True)
+    writer = docs_stream.writeStream.foreachBatch(
+        lambda bdf, bid: ingest_batch(
+            bdf, bid, index_dir, n_buckets, n_salts, salt_threshold
+        )
+    ).option(
+        "checkpointLocation",
+        checkpoint_dir or os.path.join(index_dir, "_checkpoint"),
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> None:
+    """Fold all generations into generation 0 (LSM compaction).
+
+    groupBy(term_id) → partition-local sort-merge re-encode (the same
+    kernel as the salted merge). Afterward every term has exactly one
+    segment row, so query fetches stop paying the read-merge."""
+    import shutil
+
+    from ..operators.segments import SEGMENT_SCHEMA, _merge_kernel
+
+    seg_root = os.path.join(index_dir, "segments")
+    seg_all = spark.read.option("basePath", seg_root).parquet(seg_root)
+    merged = seg_all.drop("gen").groupBy("term_id").applyInPandas(
+        _merge_kernel, SEGMENT_SCHEMA
+    )
+    tmp = os.path.join(index_dir, "_segments_tmp")
+    merged.write.mode("overwrite").parquet(os.path.join(tmp, "gen=0"))
+    shutil.rmtree(seg_root)
+    os.rename(tmp, seg_root)
+    _write_gen_lexicon(spark, index_dir)
+
+
+def windowed_event_counts(
+    events_stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling 1-hour window per event_type — streaming twin
+    of ``operators/events.hourly_event_stats`` (same columns; countDistinct
+    is replaced by approx_count_distinct, the streaming-legal form)."""
+    # watermarks require TIMESTAMP (testdata ts is TIMESTAMP_NTZ; the
+    # session tz is UTC so the cast is representation-stable)
+    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("_w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format(F.col("_w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
