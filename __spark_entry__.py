@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from search_engine_spark.operators import dedup as D
 from search_engine_spark.operators import events as E
+from search_engine_spark.operators import multimodal as MM
 from search_engine_spark.operators import similarity as SIM
 from search_engine_spark.operators import textstats as TS
 from search_engine_spark.operators.postings import (
@@ -173,6 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search ---------------------------------------------
         "embed_knn": lambda s, d: SIM.cosine_topk(_embeddings(s, d), query_vec_id=0),
         "embed_lsh_buckets": lambda s, d: SIM.lsh_buckets(_embeddings(s, d)),
+        "embed_neardup": lambda s, d: SIM.embedding_neardup_pairs(_embeddings(s, d)),
         # --- text analysis ---------------------------------------------------
         "text_lang_id": lambda s, d: TS.lang_id(_documents(s, d)),
         "text_quality": lambda s, d: TS.quality_score(_documents(s, d)),
@@ -181,6 +183,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- event windowing --------------------------------------------------
         "events_hourly": lambda s, d: E.hourly_event_stats(_events(s, d)),
         "events_sessionize": lambda s, d: E.sessionize(_events(s, d)),
+        # --- multimodal plumbing (binary payloads; rows-only check — the
+        # decode stub + mapInPandas batch shapes are pytest-verified in
+        # tests/test_multimodal.py) ------------------------------------------
+        "media_features": lambda s, d: MM.extract_features(MM.synthesize_media(s, 64)),
+        "media_frames": lambda s, d: MM.sample_frames(MM.synthesize_media(s, 64)),
     }
 
 
@@ -206,6 +213,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": sqlgen.dedup_simhash_sql(),
         "embed_knn": sqlgen.embed_knn_sql(),
         "embed_lsh_buckets": sqlgen.embed_lsh_buckets_sql(),
+        "embed_neardup": sqlgen.embed_neardup_sql(),
         "text_lang_id": sqlgen.lang_id_sql(),
         "text_quality": sqlgen.quality_sql(),
         "text_tokens": sqlgen.token_counts_sql(),

@@ -1,0 +1,196 @@
+"""Multimodal (image/audio/video) column plumbing for training-data
+pipelines.
+
+Media rides as an opaque ``binary`` column plus typed metadata — the
+pattern a 100 TB multimodal corpus needs: Parquet stores the bytes
+column-compressed, Spark never interprets them until a decode kernel runs,
+and every kernel is an Arrow-batched ``mapInPandas`` pass (one Python
+invocation per batch, never per row).
+
+The actual codec work (JPEG decode, audio PCM, video frame extraction)
+needs libraries this environment doesn't ship (PIL / ffmpeg / torchcodec),
+so the decode step is STUBBED behind ``_decode_image_stub`` — a
+deterministic fake that derives pixel statistics from the bytes — while
+everything Spark-side is real and tested: schemas, batch iteration,
+partition sizing, output shapes. Swapping the stub for a real codec
+changes ONE function.
+
+Schema contract:
+
+    media:    media_id long, kind string ('image'|'audio'|'video'),
+              payload binary, mime string, width int, height int,
+              duration_ms int, sha256 string
+    features: media_id long, feat array<float>, n_bytes long, ok boolean
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, mime string, "
+    "width int, height int, duration_ms int, sha256 string"
+)
+
+FEATURES_SCHEMA = "media_id long, feat array<float>, n_bytes long, ok boolean"
+
+THUMB_SCHEMA = (
+    "media_id long, thumb_w int, thumb_h int, thumb_mean array<float>, ok boolean"
+)
+
+FRAMES_SCHEMA = "media_id long, frame_idx int, frame_ms int, frame_feat array<float>"
+
+
+def synthesize_media(
+    spark: SparkSession, n: int = 64, seed: int = 42, payload_bytes: int = 4096
+) -> DataFrame:
+    """Deterministic fake media table (no external data): payload bytes are
+    seeded SHA-256 keystream, metadata derived from media_id."""
+    rows = []
+    kinds = ("image", "audio", "video")
+    mimes = {"image": "image/jpeg", "audio": "audio/wav", "video": "video/mp4"}
+    for i in range(n):
+        kind = kinds[i % 3]
+        buf = bytearray()
+        counter = 0
+        while len(buf) < payload_bytes:
+            buf += hashlib.sha256(f"{seed}:{i}:{counter}".encode()).digest()
+            counter += 1
+        payload = bytes(buf[:payload_bytes])
+        rows.append(
+            (
+                i,
+                kind,
+                payload,
+                mimes[kind],
+                64 + (i % 8) * 16 if kind == "image" else 0,
+                48 + (i % 8) * 16 if kind == "image" else 0,
+                1000 + i * 250 if kind != "image" else 0,
+                hashlib.sha256(payload).hexdigest(),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
+    """STUB decode — deterministic fake pixels from the payload bytes.
+
+    A real implementation would be ``PIL.Image.open(io.BytesIO(payload))``;
+    unavailable in this container. The fake keeps the contract (H×W×3
+    uint8) so downstream resize/feature code is exercised for real."""
+    if width <= 0 or height <= 0:
+        raise NotImplementedError("real decode requires PIL; stub needs dims")
+    raw = np.frombuffer(payload, np.uint8)
+    need = width * height * 3
+    reps = -(-need // raw.size)
+    return np.tile(raw, reps)[:need].reshape(height, width, 3)
+
+
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """binary payload -> fixed-dim float feature vector, Arrow-batched.
+
+    Feature = per-stripe byte means (stub for an embedding model). The
+    kernel is pure numpy over each Arrow batch; at scale this stage is
+    CPU-bound and embarrassingly parallel, so partition sizing (payload
+    bytes per task, ``spark.sql.files.maxPartitionBytes``) is the only
+    tuning knob."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, nbytes, oks = [], [], []
+            for payload in pdf["payload"]:
+                b = np.frombuffer(payload, np.uint8) if payload is not None else np.empty(0, np.uint8)
+                nbytes.append(b.size)
+                if b.size == 0:
+                    feats.append(np.zeros(dim, np.float32))
+                    oks.append(False)
+                    continue
+                stripes = np.array_split(b.astype(np.float32), dim)
+                feats.append(np.array([s.mean() if s.size else 0.0 for s in stripes], np.float32))
+                oks.append(True)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feat": feats,
+                    "n_bytes": np.array(nbytes, np.int64),
+                    "ok": oks,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(kernel, FEATURES_SCHEMA)
+
+
+def thumbnail_stats(media: DataFrame, thumb: int = 8) -> DataFrame:
+    """Image decode → resize-to-thumbnail → channel means (mapInPandas).
+
+    Decode is the stub; the resize (block mean-pool to ``thumb×thumb``)
+    and the batch plumbing are real."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "thumb_w": [], "thumb_h": [], "thumb_mean": [], "ok": []}
+            for _, row in pdf.iterrows():
+                out["media_id"].append(row["media_id"])
+                try:
+                    img = _decode_image_stub(row["payload"], row["width"], row["height"])
+                    h, w, _ = img.shape
+                    ys = np.linspace(0, h, thumb + 1, dtype=int)
+                    xs = np.linspace(0, w, thumb + 1, dtype=int)
+                    means = np.array(
+                        [
+                            img[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+                            for i in range(thumb)
+                            for j in range(thumb)
+                        ],
+                        np.float32,
+                    )
+                    out["thumb_w"].append(thumb)
+                    out["thumb_h"].append(thumb)
+                    out["thumb_mean"].append(means)
+                    out["ok"].append(True)
+                except NotImplementedError:
+                    out["thumb_w"].append(0)
+                    out["thumb_h"].append(0)
+                    out["thumb_mean"].append(np.zeros(thumb * thumb, np.float32))
+                    out["ok"].append(False)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload", "width", "height"
+    ).mapInPandas(kernel, THUMB_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 500, dim: int = 4) -> DataFrame:
+    """Video frame sampling: one output row per sampled timestamp
+    (mapInPandas returning a VARIABLE number of rows per input — the
+    Spark-side shape a real ffmpeg frame extractor needs)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, mss, feats = [], [], [], []
+            for _, row in pdf.iterrows():
+                dur = int(row["duration_ms"])
+                b = np.frombuffer(row["payload"], np.uint8)
+                for k, ms in enumerate(range(0, dur, every_ms)):
+                    ids.append(row["media_id"])
+                    idxs.append(k)
+                    mss.append(ms)
+                    # stub frame feature: windowed byte means keyed by ms
+                    off = (ms * 37) % max(b.size - 64, 1)
+                    win = b[off : off + 64].astype(np.float32)
+                    feats.append(
+                        np.array([s.mean() for s in np.array_split(win, dim)], np.float32)
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_ms": mss, "frame_feat": feats}
+            )
+
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "payload", "duration_ms"
+    ).mapInPandas(kernel, FRAMES_SCHEMA)

@@ -187,21 +187,26 @@ def search(index: Index, query: str, limit: int | None = None) -> DataFrame:
     Empty result cases return an empty DataFrame with the same schema.
     """
     spark = index.documents.sparkSession
-    empty = spark.createDataFrame([], "doc_id long, score double, rank long")
+
+    def empty() -> DataFrame:  # built only on the early-exit paths
+        from .segments import empty_result_df
+
+        return empty_result_df(spark)
+
     pq = parse_query(query)
     if not pq.keywords:
-        return empty
+        return empty()
 
     base = score_keyword(index, pq.keywords[0])
     if base is None:
-        return empty
+        return empty()
     if pq.site:
         base = _site_filter(index, base, pq.site)
 
     for kw in pq.keywords[1:]:
         cand = candidates_for_keyword(index, kw)
         if cand is None:
-            return empty
+            return empty()
         base = base.join(cand, "doc_id", "left_semi")
 
     for ex in pq.exclusions:

@@ -323,11 +323,56 @@ def write_index(
     return IndexMeta(n_docs, n_buckets, n_shards, fp)
 
 
+def empty_result_df(spark: SparkSession) -> DataFrame:
+    """Empty (doc_id, score, rank) as limit(0) over a 1-row Arrow
+    LocalRelation. Both ``createDataFrame([], schema)`` and an
+    empty-pandas source compile to parallelized-RDD plans whose every
+    collect() runs a real multi-task job (~300 ms measured); the folded
+    local relation collects driver-side (~20 ms)."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.zeros(1, np.int64),
+            "score": np.zeros(1, np.float64),
+            "rank": np.zeros(1, np.int64),
+        }
+    )
+    return spark.createDataFrame(pdf).limit(0)
+
+
+class LruCache:
+    """Minimal LRU (reference: util/buffer.go:13-49, 100k entries). No TTL —
+    entries are keyed to an immutable index handle, so they never go stale
+    (an improvement over the reference's 60 s TTL, which exists only
+    because its store mutates in place)."""
+
+    def __init__(self, maxsize: int = 100_000) -> None:
+        from collections import OrderedDict
+
+        self._d: "OrderedDict[object, object]" = OrderedDict()
+        self._maxsize = maxsize
+
+    def __contains__(self, k) -> bool:
+        return k in self._d
+
+    def get(self, k):
+        if k not in self._d:
+            return None
+        self._d.move_to_end(k)
+        return self._d[k]
+
+    def put(self, k, v) -> None:
+        self._d[k] = v
+        self._d.move_to_end(k)
+        if len(self._d) > self._maxsize:
+            self._d.popitem(last=False)
+
+
 @dataclass
 class DiskIndex:
     """Handle to a persisted index. DataFrame handles are created once
-    (file listing + schema resolution are not free) — the disk analog of
-    the reference's LRU-fronted BoltDB accessors (boltdb-index.go:82-113)."""
+    (file listing + schema resolution are not free); term segments and
+    site-filter results are LRU-cached — the disk analog of the
+    reference's LRU-fronted BoltDB accessors (boltdb-index.go:82-113)."""
 
     spark: SparkSession
     index_dir: str
@@ -339,6 +384,18 @@ class DiskIndex:
         self._segments = self.spark.read.option(
             "basePath", os.path.join(self.index_dir, "segments")
         ).parquet(os.path.join(self.index_dir, "segments"))
+        self.segment_cache = LruCache(100_000)
+        self.site_cache = LruCache(10_000)
+        self._empty_result = None
+
+    def empty_result(self) -> DataFrame:
+        """Shared empty (doc_id, score, rank).
+
+        See ``empty_result_df`` for why it is NOT ``createDataFrame([],
+        schema)``."""
+        if self._empty_result is None:
+            self._empty_result = empty_result_df(self.spark)
+        return self._empty_result
 
     @property
     def documents(self) -> DataFrame:

@@ -106,6 +106,44 @@ def lsh_buckets(
     )
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos_sim).
+
+    LSH-bucket blocking (same deterministic hyperplanes as ``lsh_buckets``)
+    followed by exact cosine verification — the candidate join runs on the
+    bucket key, never the cross product. At 100 TB the vector table is
+    stored bucket-partitioned, so each task joins one bucket's vectors;
+    identical-content clusters share buckets by construction (that
+    quadratic is the answer, not overhead). Deterministic end-to-end, so
+    the DuckDB oracle reproduces values exactly.
+    """
+    b = lsh_buckets(embeddings, n_planes, dim, vec_col, id_col)
+    vecs = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("_v")
+    ).join(b, "vec_id")
+    a_side = vecs.select(
+        F.col("vec_id").alias("vec_a"), F.col("_v").alias("_va"), "bucket"
+    )
+    b_side = vecs.select(
+        F.col("vec_id").alias("vec_b"), F.col("_v").alias("_vb"), "bucket"
+    )
+    sim = cosine(F.col("_va"), F.col("_vb"))
+    return (
+        a_side.join(b_side, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("_s"))
+        .filter(F.col("_s") >= threshold)
+        .select("vec_a", "vec_b", F.round("_s", 6).alias("cos_sim"))
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec_id: int,

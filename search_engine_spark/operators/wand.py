@@ -80,49 +80,65 @@ def fetch_term_segments(di: DiskIndex, term_ids: list[int]) -> dict[int, TermSeg
         return {}
     from ..functions.xxhash import bucket_of_term
 
-    buckets = sorted({bucket_of_term(t, di.meta.n_buckets) for t in term_ids})
-    rows = (
-        di.segments.filter(
-            F.col("bucket").isin(buckets) & F.col("term_id").isin(term_ids)
+    # LRU in front of the segment store — the reference fronts BoltDB with
+    # 100k-entry LRUs (boltdb-index.go:82-113, util/buffer.go:13-49). Ours
+    # needs no TTL: segments are immutable for a given DiskIndex handle.
+    # Misses are cached too (None) so absent terms don't re-scan.
+    cache = di.segment_cache
+    missing = [t for t in term_ids if t not in cache]
+    if missing:
+        buckets = sorted({bucket_of_term(t, di.meta.n_buckets) for t in missing})
+        rows = (
+            di.segments.filter(
+                F.col("bucket").isin(buckets) & F.col("term_id").isin(missing)
+            )
+            .select(
+                "term_id", "df", "blob", "block_last", "block_max_tf", "block_offsets"
+            )
+            .collect()
         )
-        .select("term_id", "df", "blob", "block_last", "block_max_tf", "block_offsets")
-        .collect()
-    )
-    by_term: dict[int, list] = {}
-    for r in rows:
-        by_term.setdefault(r["term_id"], []).append(r)
-    out: dict[int, TermSegment] = {}
-    for tid, rs in by_term.items():
-        if len(rs) == 1:
-            r = rs[0]
-            out[tid] = TermSegment(
-                tid,
-                r["df"],
-                bytes(r["blob"]),
-                np.array(r["block_last"], np.int64),
-                np.array(r["block_max_tf"], np.int64),
-                np.array(r["block_offsets"], np.int64),
-            )
-        else:
-            # streaming index: one row per generation — LSM-style
-            # read-merge of the (few, query-term-only) parts, re-encoded
-            # so block-max pruning metadata stays consistent.
-            from .segments import merge_decoded_parts
+        fetched: dict[int, list] = {t: [] for t in missing}
+        for r in rows:
+            fetched[r["term_id"]].append(r)
+        for t, rs in fetched.items():
+            cache.put(t, _rows_to_segment(t, rs))
+    return {
+        t: seg for t in term_ids if (seg := cache.get(t)) is not None
+    }
 
-            parts = [codec.decode_term_postings(bytes(r["blob"])) for r in rs]
-            doc_ids, te, npos, flat = merge_decoded_parts(parts)
-            eb = codec.encode_bucket(
-                np.full(doc_ids.size, tid, np.int64), doc_ids, te, npos, flat
-            )
-            out[tid] = TermSegment(
-                tid,
-                int(eb.dfs[0]),
-                bytes(eb.blobs[0]),
-                eb.block_last[0].astype(np.int64),
-                eb.block_max_tf[0].astype(np.int64),
-                eb.block_offsets[0].astype(np.int64),
-            )
-    return out
+
+def _rows_to_segment(tid: int, rs: list) -> TermSegment | None:
+    """Collected segment rows of one term -> TermSegment (None if absent)."""
+    if not rs:
+        return None
+    if len(rs) == 1:
+        r = rs[0]
+        return TermSegment(
+            tid,
+            r["df"],
+            bytes(r["blob"]),
+            np.array(r["block_last"], np.int64),
+            np.array(r["block_max_tf"], np.int64),
+            np.array(r["block_offsets"], np.int64),
+        )
+    # streaming index: one row per generation — LSM-style read-merge of
+    # the (few, query-term-only) parts, re-encoded so block-max pruning
+    # metadata stays consistent.
+    from .segments import merge_decoded_parts
+
+    parts = [codec.decode_term_postings(bytes(r["blob"])) for r in rs]
+    doc_ids, te, npos, flat = merge_decoded_parts(parts)
+    eb = codec.encode_bucket(
+        np.full(doc_ids.size, tid, np.int64), doc_ids, te, npos, flat
+    )
+    return TermSegment(
+        tid,
+        int(eb.dfs[0]),
+        bytes(eb.blobs[0]),
+        eb.block_last[0].astype(np.int64),
+        eb.block_max_tf[0].astype(np.int64),
+        eb.block_offsets[0].astype(np.int64),
+    )
 
 
 def _keyword_candidates(segs: dict[int, TermSegment], keyword: str) -> np.ndarray | None:
@@ -198,10 +214,10 @@ def search_segments(
     web/service/search.go:192-203, intended AND semantics SURVEY §7.4.4).
     """
     spark = di.spark
-    empty = spark.createDataFrame([], "doc_id long, score double, rank long")
+    empty = di.empty_result
     pq = parse_query(query)
     if not pq.keywords:
-        return empty
+        return empty()
 
     need: set[int] = set()
     for kw in pq.keywords + pq.exclusions:
@@ -210,30 +226,38 @@ def search_segments(
 
     base = _keyword_candidates(segs, pq.keywords[0])
     if base is None:
-        return empty
+        return empty()
     for kw in pq.keywords[1:]:
         nxt = _keyword_candidates(segs, kw)
         if nxt is None:
-            return empty
+            return empty()
         base = base[np.isin(base, nxt, assume_unique=True)]
     for ex in pq.exclusions:
         drop = _keyword_candidates(segs, ex)
         if drop is not None:
             base = base[~np.isin(base, drop, assume_unique=True)]
     if pq.site:
-        allowed = np.array(
-            [
-                r["doc_id"]
-                for r in di.documents.filter(F.col("url").endswith(pq.site))
-                .select("doc_id")
-                .collect()
-            ],
-            np.int64,
-        )
+        # per-site allowed-doc set, LRU-cached (the reference LRU-caches
+        # doc→url lookups, boltdb-index.go:94-101; we cache the whole
+        # site's doc set since the index is immutable). At corpus scale
+        # the doc store would instead be written host-bucketed so this
+        # scan prunes to the site's files.
+        allowed = di.site_cache.get(pq.site)
+        if allowed is None:
+            allowed = np.array(
+                [
+                    r["doc_id"]
+                    for r in di.documents.filter(F.col("url").endswith(pq.site))
+                    .select("doc_id")
+                    .collect()
+                ],
+                np.int64,
+            )
+            di.site_cache.put(pq.site, allowed)
         base = base[np.isin(base, allowed)]
     base = base[:per_shard]  # candidates are docId-ascending already
     if base.size == 0:
-        return empty
+        return empty()
     scores = _score_docs(segs, pq.keywords[0], base, di.meta.n_docs)
     order = np.lexsort((base, -scores))
     import pandas as pd

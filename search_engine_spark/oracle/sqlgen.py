@@ -284,6 +284,39 @@ def embed_lsh_buckets_sql(n_planes: int = 8, dim: int = 64) -> str:
     )
 
 
+def embed_neardup_sql(
+    threshold: float = 0.35, n_planes: int = 4, dim: int = 64
+) -> str:
+    from ..operators.similarity import hyperplane_signs
+
+    signs = hyperplane_signs(n_planes, dim)
+    bits = []
+    for i, row in enumerate(signs):
+        terms = " + ".join(
+            f"({float(s)} * embedding[{j + 1}]::DOUBLE)" for j, s in enumerate(row)
+        )
+        bits.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return f"""
+WITH b AS (SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings),
+p AS (
+  SELECT a.vec_id AS va, b2.vec_id AS vb,
+         unnest(a.embedding) AS x, unnest(b2.embedding) AS y
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+),
+z AS (
+  SELECT va, vb,
+         SUM(x::DOUBLE * y::DOUBLE) AS dot,
+         SUM(x::DOUBLE * x::DOUBLE) AS na,
+         SUM(y::DOUBLE * y::DOUBLE) AS nb
+  FROM p GROUP BY 1, 2
+)
+SELECT va::BIGINT AS vec_a, vb::BIGINT AS vec_b,
+       ROUND(dot / sqrt(na * nb), 6) AS cos_sim
+FROM z WHERE dot / sqrt(na * nb) >= {threshold}
+""".strip()
+
+
 def lang_id_sql() -> str:
     return r"""
 SELECT doc_id::BIGINT AS doc_id,

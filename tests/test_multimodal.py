@@ -1,0 +1,66 @@
+"""Multimodal plumbing: schemas, batch shapes, determinism, stub gating."""
+
+import numpy as np
+import pytest
+
+from search_engine_spark.operators.multimodal import (
+    extract_features,
+    sample_frames,
+    synthesize_media,
+    thumbnail_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synthesize_media(spark, n=30).cache()
+
+
+def test_synthesis_deterministic(spark, media):
+    a = {r.media_id: r.sha256 for r in media.collect()}
+    b = {r.media_id: r.sha256 for r in synthesize_media(spark, n=30).collect()}
+    assert a == b
+    kinds = {r.kind for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_extract_features_shape(media):
+    rows = extract_features(media, dim=8).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r.ok and len(r.feat) == 8 and r.n_bytes == 4096
+        assert all(np.isfinite(v) for v in r.feat)
+
+
+def test_features_deterministic(media):
+    a = {r.media_id: tuple(r.feat) for r in extract_features(media).collect()}
+    b = {r.media_id: tuple(r.feat) for r in extract_features(media).collect()}
+    assert a == b
+
+
+def test_thumbnail_only_images(media):
+    rows = thumbnail_stats(media, thumb=4).collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(rows) == n_images
+    for r in rows:
+        assert r.ok and r.thumb_w == 4 and len(r.thumb_mean) == 16
+        assert all(0.0 <= v <= 255.0 for v in r.thumb_mean)
+
+
+def test_thumbnail_stub_gates_on_missing_dims(spark):
+    from pyspark.sql import functions as F
+
+    bad = synthesize_media(spark, n=6).withColumn("width", F.lit(0))
+    rows = thumbnail_stats(bad).collect()
+    assert rows and all(not r.ok for r in rows)  # stub refusal surfaces as ok=False
+
+
+def test_sample_frames_row_explosion(media):
+    rows = sample_frames(media, every_ms=500).collect()
+    vids = {r.media_id: r.duration_ms for r in media.filter("kind='video'").collect()}
+    assert set(r.media_id for r in rows) == set(vids)
+    for mid, dur in vids.items():
+        got = sorted((r.frame_idx, r.frame_ms) for r in rows if r.media_id == mid)
+        exp = [(k, ms) for k, ms in enumerate(range(0, dur, 500))]
+        assert got == exp
+        assert all(len(r.frame_feat) == 4 for r in rows if r.media_id == mid)

@@ -1,0 +1,114 @@
+"""Two-cluster-size scaling benchmark (BASELINE.md measurement protocol).
+
+One COLD run = one JVM. Invoke once per (cores, repetition):
+
+    spark-submit --master local[8] \
+        --py-files /tmp/search_engine_spark_pyfiles.zip \
+        tools/scale_bench.py --cores 8 --n-docs 40000
+
+(or ``python tools/scale_bench.py --cores 8 ...`` — the session factory
+ships the package zip itself, the --py-files equivalent).
+
+Prints ONE JSON line:
+    {"cores": N, "n_docs": D, "build_sec": s, "docs_per_sec": r,
+     "query_p50_ms": m, "query_p95_ms": m2, "per_query_p50_ms": {...}}
+
+The corpus is the deterministic synthetic source-code table in the
+input_hint shape (corpus.py — pure function of the row index, no external
+data); queries are the FIXTURES.md §4 reference query set.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# FIXTURES.md §4 (q09/q12 are empty-result probes; kept — latency includes
+# the early-exit path, as the reference's API would measure it)
+QUERY_SET = [
+    ("q01", "hello"),
+    ("q02", "world"),
+    ("q03", "你好世界"),
+    ("q04", "hello world"),
+    ("q05", "hello -world"),
+    ("q06", "hello site:org1"),
+    ("q07", "abcdef"),
+    ("q08", "ABCdef"),
+    ("q09", "z"),
+    ("q10", "qqqq"),
+    ("q11", "in"),
+    ("q12", ""),
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--n-docs", type=int, default=40_000)
+    ap.add_argument("--reps", type=int, default=10, help="query repetitions")
+    ap.add_argument("--salt-threshold", type=int, default=25_000)
+    args = ap.parse_args()
+
+    from search_engine_spark.corpus import generate_corpus
+    from search_engine_spark.operators.postings import build_documents_from_corpus
+    from search_engine_spark.operators.segments import load_index, write_index
+    from search_engine_spark.operators.wand import search_segments
+    from search_engine_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scale_bench_{args.cores}",
+        master=f"local[{args.cores}]",
+        shuffle_partitions=args.cores,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    corpus = generate_corpus(spark, args.n_docs, n_partitions=args.cores * 2)
+    docs = build_documents_from_corpus(corpus)
+
+    index_dir = tempfile.mkdtemp(prefix=f"scale_idx_{args.cores}_") + "/idx"
+    t0 = time.time()
+    write_index(
+        docs,
+        index_dir,
+        n_buckets=args.cores * 2,
+        n_shards=1,
+        n_salts=8,
+        salt_threshold=args.salt_threshold,
+    )
+    build_sec = time.time() - t0
+
+    di = load_index(spark, index_dir)
+    for _, q in QUERY_SET:  # warmup (JIT + parquet footer cache)
+        search_segments(di, q).collect()
+    lat: dict[str, list[float]] = {qid: [] for qid, _ in QUERY_SET}
+    for _ in range(args.reps):
+        for qid, q in QUERY_SET:
+            t1 = time.time()
+            search_segments(di, q).collect()
+            lat[qid].append((time.time() - t1) * 1000)
+    all_lat = [v for vs in lat.values() for v in vs]
+    out = {
+        "cores": args.cores,
+        "n_docs": args.n_docs,
+        "build_sec": round(build_sec, 2),
+        "docs_per_sec": round(args.n_docs / build_sec, 1),
+        "query_p50_ms": round(statistics.median(all_lat), 2),
+        "query_p95_ms": round(sorted(all_lat)[int(len(all_lat) * 0.95)], 2),
+        "per_query_p50_ms": {
+            qid: round(statistics.median(vs), 2) for qid, vs in lat.items()
+        },
+    }
+    shutil.rmtree(os.path.dirname(index_dir), ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
