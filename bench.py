@@ -64,7 +64,15 @@ def main() -> None:
     n_docs = docs.count()
     index_dir = tempfile.mkdtemp(prefix="bench_index_") + "/idx"
     t0 = time.time()
-    write_index(docs, index_dir, n_buckets=32, n_shards=2, n_salts=4, salt_threshold=100_000)
+    write_index(
+        docs,
+        index_dir,
+        n_buckets=32,
+        n_shards=2,
+        n_salts=4,
+        salt_threshold=max(n_docs // 8, 100),
+        collect_stats=False,
+    )
     build_sec = time.time() - t0
     timings["index_build"] = round(build_sec, 3)
     di = load_index(spark, index_dir)

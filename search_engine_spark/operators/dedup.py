@@ -24,7 +24,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-STOP_SHINGLE_MAX_DF = 1 << 30  # disabled by default; tune at scale
 
 
 def porthash60(col: F.Column) -> F.Column:
@@ -84,14 +83,31 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard: (doc_a, doc_b, jaccard).
 
     Blocking: the self-join runs on the shingle value, so only docs sharing
     at least one shingle ever meet — never the full cross product. jaccard
     is rounded to 6 decimals for cross-engine comparability.
+
+    ``max_shingle_df`` caps the join blow-up at web scale: shingles shared
+    by more than that many docs (boilerplate — license headers, generated
+    code) are dropped BEFORE the join, and the doc sizes are computed over
+    the surviving shingles, so the result is exact Jaccard over the
+    non-boilerplate shingle sets. A shingle with df=d contributes d² join
+    rows; the cap turns a license header shared by 10^8 files from 10^16
+    join rows into zero.
     """
     sh = word_shingles(documents, n=n, text_col=text_col, id_col=id_col)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # self-join blocked on the shingle value: the two sides canonicalize
     # identically, so AQE's runtime exchange reuse computes the shingle

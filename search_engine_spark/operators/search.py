@@ -46,6 +46,17 @@ class ParsedQuery:
     site: str = ""
 
 
+def has_illegal_keywords(query: str, blocked: list[str] | None = None) -> bool:
+    """Driver-side blocked-substring gate (web/service/search.go:48-57).
+
+    The reference refreshes ``blocked`` from a MySQL config table every
+    few seconds (base.go:46-60); here it's a plain list the caller loads
+    from whatever config store backs the deployment."""
+    if not blocked:
+        return False
+    return any(k in query for k in blocked)
+
+
 def parse_query(query: str) -> ParsedQuery:
     """query_preprocess.go:14-34, exactly."""
     pq = ParsedQuery()

@@ -38,6 +38,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -50,43 +51,55 @@ SEGMENT_SCHEMA = (
 )
 
 
-def _encode_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel for one (bucket, salt) group."""
-    if len(pdf) == 0:
-        return pd.DataFrame(
-            columns=[
-                "bucket", "term_id", "salt", "df", "ctf", "n_docs",
-                "blob", "block_last", "block_max_tf", "block_offsets",
-            ]
+def _encode_kernel_arrow(table: pa.Table) -> pa.Table:
+    """applyInArrow kernel for one (bucket, salt) group.
+
+    Arrow-native on purpose: a pandas kernel materializes one Python list
+    object PER ROW for the ``positions`` column (30M rows → 30M objects →
+    GC collapse); the Arrow ListArray exposes the same data as two flat
+    numpy arrays (values + offsets) with zero object churn. (The real
+    type hints are REQUIRED — applyInArrow infers its eval type from
+    them.)
+    """
+    t = table.combine_chunks()
+    term = t.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    te = t.column("title_end").to_numpy(zero_copy_only=False).astype(np.int64)
+    la = t.column("positions")
+    la = la.combine_chunks() if isinstance(la, pa.ChunkedArray) else la
+    offsets = la.offsets.to_numpy().astype(np.int64)
+    values = la.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = offsets[1:] - offsets[:-1]
+
+    order = np.lexsort((doc, term))
+    starts = offsets[:-1][order]
+    counts_o = counts[order]
+    total = int(counts_o.sum())
+    if total:
+        # ragged gather: flat positions in (term, doc) sorted row order
+        shift = np.repeat(
+            starts - np.concatenate(([0], np.cumsum(counts_o)[:-1])), counts_o
         )
-    pdf = pdf.sort_values(["term_id", "doc_id"], kind="mergesort", ignore_index=True)
-    pos_lists = pdf["positions"].to_numpy()
-    pos_counts = np.fromiter((len(p) for p in pos_lists), np.int64, len(pos_lists))
-    flat = (
-        np.concatenate([np.asarray(p, np.int64) for p in pos_lists])
-        if pos_counts.sum()
-        else np.empty(0, np.int64)
-    )
-    eb = codec.encode_bucket(
-        pdf["term_id"].to_numpy(np.int64),
-        pdf["doc_id"].to_numpy(np.int64),
-        pdf["title_end"].to_numpy(np.int64),
-        pos_counts,
-        flat,
-    )
+        flat = values[shift + np.arange(total)]
+    else:
+        flat = np.empty(0, np.int64)
+
+    eb = codec.encode_bucket(term[order], doc[order], te[order], counts_o, flat)
     n_terms = len(eb.term_ids)
-    return pd.DataFrame(
+    bucket = int(t.column("bucket")[0].as_py()) if n_terms else 0
+    salt = int(t.column("salt")[0].as_py()) if n_terms else 0
+    return pa.table(
         {
-            "bucket": np.full(n_terms, int(pdf["bucket"].iloc[0]), np.int32),
-            "term_id": eb.term_ids,
-            "salt": np.full(n_terms, int(pdf["salt"].iloc[0]), np.int32),
-            "df": eb.dfs,
-            "ctf": eb.ctfs,
-            "n_docs": eb.dfs,
-            "blob": eb.blobs,
-            "block_last": [a.tolist() for a in eb.block_last],
-            "block_max_tf": [a.tolist() for a in eb.block_max_tf],
-            "block_offsets": [a.tolist() for a in eb.block_offsets],
+            "bucket": pa.array(np.full(n_terms, bucket, np.int32), pa.int32()),
+            "term_id": pa.array(eb.term_ids, pa.int64()),
+            "salt": pa.array(np.full(n_terms, salt, np.int32), pa.int32()),
+            "df": pa.array(eb.dfs, pa.int64()),
+            "ctf": pa.array(eb.ctfs, pa.int64()),
+            "n_docs": pa.array(eb.dfs, pa.int64()),
+            "blob": pa.array(eb.blobs, pa.binary()),
+            "block_last": pa.array([a.tolist() for a in eb.block_last], pa.list_(pa.int64())),
+            "block_max_tf": pa.array([a.tolist() for a in eb.block_max_tf], pa.list_(pa.int32())),
+            "block_offsets": pa.array([a.tolist() for a in eb.block_offsets], pa.list_(pa.int64())),
         }
     )
 
@@ -119,7 +132,9 @@ def build_segments(
         )
         .drop("_hot")
     )
-    return salted.groupBy("bucket", "salt").applyInPandas(_encode_kernel, SEGMENT_SCHEMA)
+    return salted.groupBy("bucket", "salt").applyInArrow(
+        _encode_kernel_arrow, SEGMENT_SCHEMA
+    )
 
 
 def merge_decoded_parts(
@@ -209,11 +224,17 @@ class IndexMeta:
 def corpus_fingerprint(documents: DataFrame) -> str:
     """Order-independent corpus lineage id: count + XOR-free sum of 60-bit
     sha256 prefixes of content (the per-row invariant column)."""
+    return _fingerprint_and_count(documents)[0]
+
+
+def _fingerprint_and_count(documents: DataFrame) -> tuple[str, int]:
+    """Fingerprint + row count in ONE job (each Spark job costs fixed
+    scheduling time that otherwise lands in the serial fraction)."""
     row = documents.agg(
         F.count("*").alias("n"),
         F.sum(F.conv(F.substring("content_sha256", 1, 15), 16, 10).cast("decimal(38,0)")).alias("s"),
     ).collect()[0]
-    return f"{row['n']}:{row['s']}"
+    return f"{row['n']}:{row['s']}", int(row["n"])
 
 
 def _manifest_path(index_dir: str) -> str:
@@ -239,78 +260,137 @@ def write_index(
     n_salts: int = 8,
     salt_threshold: int = 250_000,
     with_title: bool = True,
+    merge_hot: bool = False,
+    collect_stats: bool = True,
 ) -> IndexMeta:
     """Full persisted index build with shard-level resume.
 
     Each shard covers buckets {b : b % n_shards == shard}; a shard whose
     manifest row is complete with a matching fingerprint is skipped on
     re-run (kill-and-resume without recomputation).
+
+    ``merge_hot=True`` fuses each hot term's salted sub-segments into one
+    blob at build time (explicit compaction); the default leaves them
+    segmented and lets the query path read-merge.
     """
     from .postings import build_postings
 
     spark = documents.sparkSession
     os.makedirs(index_dir, exist_ok=True)
-    fp = corpus_fingerprint(documents)
+
+    profile = os.environ.get("SPARK_GRAFT_PROFILE") == "1"
+    _t = [time.time()]
+
+    def _mark(label: str) -> None:
+        if profile:
+            now = time.time()
+            print(f"[write_index] {label}: {now - _t[0]:.1f}s", flush=True)
+            _t[0] = now
+
+    # Write the doc store FIRST, then fingerprint from the written parquet:
+    # fingerprinting the logical input would recompute the whole upstream
+    # pipeline (corpus gen + parse + doc_id assignment — measured 22 s at
+    # 80k docs), while the parquet scan prunes to the content_sha256
+    # column. The manifest fingerprint therefore guards the doc STORE's
+    # lineage; re-running against a changed input with a stale index_dir
+    # requires clearing the directory (documented resume contract).
+    docs_path = os.path.join(index_dir, "documents")
+    if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
+        documents.write.mode("overwrite").parquet(docs_path)
+    _mark("documents write")
+    docs = spark.read.parquet(docs_path)
+    fp, n_docs = _fingerprint_and_count(docs)
+    _mark("fingerprint+count")
     done = {
         s: m for s, m in read_manifest(index_dir).items()
         if m.get("status") == "complete" and m.get("fingerprint") == fp
     }
 
-    docs_path = os.path.join(index_dir, "documents")
-    if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
-        documents.write.mode("overwrite").parquet(docs_path)
-    docs = spark.read.parquet(docs_path)
-    n_docs = docs.count()
-
     postings = build_postings(docs, with_title=with_title).withColumn(
         "_bucket", F.pmod(F.xxhash64("term_id"), F.lit(n_buckets)).cast("int")
     )
-    postings.cache()
+    # NOT cached: the map-side tokenize recomputes in ~seconds, while
+    # caching 10^7+ list-column rows costs far more than the recompute
+    # (measured 21.5 s to fill vs 2.7 s to recompute at 320k docs) and
+    # reading the row-format cache back is slower than the Arrow pipeline.
+    _mark("postings plan")
+
+    # The encode shuffle must be partitioned by DATA VOLUME, not core
+    # count: at shuffle.partitions == 8 a 320k-doc build spills every
+    # reduce task (291 s); at >= n_buckets each (bucket, salt) group lands
+    # in its own small task (70 s). AQE coalesces the excess on small
+    # inputs, so over-partitioning is free.
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(max(int(prev_sp), 2 * n_buckets))
+    )
     try:
         for shard in range(n_shards):
             if shard in done:
                 continue
             t0 = time.time()
             part = postings.filter(F.col("_bucket") % n_shards == shard).drop("_bucket")
-            seg = merge_salted(
-                build_segments(part, n_buckets, n_salts, salt_threshold)
-            )
+            encoded = build_segments(part, n_buckets, n_salts, salt_threshold)
             out = os.path.join(index_dir, "segments", f"shard={shard}")
-            seg.write.mode("overwrite").parquet(out)
-            written = spark.read.parquet(out)
-            stats = written.agg(
-                F.count("*").alias("n_terms"),
-                F.sum("df").alias("n_postings"),
-                F.sum(F.length("blob")).alias("blob_bytes"),
-            ).collect()[0]
-            with open(_manifest_path(index_dir), "a") as f:
-                f.write(
-                    json.dumps(
-                        {
-                            "shard": shard,
-                            "status": "complete",
-                            "fingerprint": fp,
-                            "n_terms": stats["n_terms"],
-                            "n_postings": int(stats["n_postings"] or 0),
-                            "blob_bytes": int(stats["blob_bytes"] or 0),
-                            "wall_ms": int((time.time() - t0) * 1000),
-                        }
-                    )
-                    + "\n"
+            if merge_hot:
+                # persist between encode and merge: merge_salted's plan
+                # refers to its input three times (multi-term detection
+                # aggregate + both join sides) — without the persist the
+                # encode kernel runs 3x.
+                from pyspark import StorageLevel
+
+                encoded = encoded.persist(StorageLevel.MEMORY_AND_DISK)
+                merge_salted(encoded).write.mode("overwrite").parquet(out)
+                encoded.unpersist()
+            else:
+                # Default: salted sub-segments stay on disk as-is
+                # (Lucene-style — indexes need not be fully fused). With
+                # this engine's bigram vocabulary (~4k ASCII pairs), at
+                # corpus scale EVERY term is hot, and fusing a term's
+                # sub-segments is a single task of O(df) — the one
+                # non-parallelizable step. The query path read-merges a
+                # term's parts at fetch (LRU-cached), so skipping the fuse
+                # trades a per-term constant at query time for a fully
+                # parallel build.
+                encoded.write.mode("overwrite").parquet(out)
+            _mark(f"shard {shard} segments write")
+            entry = {
+                "shard": shard,
+                "status": "complete",
+                "fingerprint": fp,
+                "wall_ms": int((time.time() - t0) * 1000),
+            }
+            if collect_stats:
+                # one extra job per shard — skipped on the fast path, the
+                # resume contract only needs status+fingerprint
+                stats = spark.read.parquet(out).agg(
+                    F.count("*").alias("n_terms"),
+                    F.sum("df").alias("n_postings"),
+                    F.sum(F.length("blob")).alias("blob_bytes"),
+                ).collect()[0]
+                entry.update(
+                    n_terms=stats["n_terms"],
+                    n_postings=int(stats["n_postings"] or 0),
+                    blob_bytes=int(stats["blob_bytes"] or 0),
                 )
-        # lexicon derives from final segments (df/ctf already aggregated)
+            with open(_manifest_path(index_dir), "a") as f:
+                f.write(json.dumps(entry) + "\n")
+        # lexicon derives from final segments; hot terms may have one row
+        # per salt, so aggregate (exact: a doc lives in exactly one salt)
         seg_all = spark.read.option("basePath", os.path.join(index_dir, "segments")).parquet(
             os.path.join(index_dir, "segments")
         )
-        from ..functions.tokenizer import ids_to_terms  # noqa: F401  (doc link)
         from .postings import _term_str
 
-        lex = seg_all.select(
-            "term_id", "df", "ctf", "bucket"
-        ).withColumn("term", _term_str(F.col("term_id")))
+        lex = (
+            seg_all.groupBy("term_id", "bucket")
+            .agg(F.sum("df").alias("df"), F.sum("ctf").alias("ctf"))
+            .withColumn("term", _term_str(F.col("term_id")))
+        )
         lex.write.mode("overwrite").parquet(os.path.join(index_dir, "lexicon"))
+        _mark("lexicon write")
     finally:
-        postings.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
     meta = {
         "n_docs": n_docs,
@@ -386,6 +466,7 @@ class DiskIndex:
         ).parquet(os.path.join(self.index_dir, "segments"))
         self.segment_cache = LruCache(100_000)
         self.site_cache = LruCache(10_000)
+        self.result_cache = LruCache(10_000)
         self._empty_result = None
 
     def empty_result(self) -> DataFrame:

@@ -367,3 +367,19 @@ def topk_wand(di: DiskIndex, query: str, k: int = 10) -> list[tuple[int, float]]
     top.sort(key=lambda x: (-x[0], x[1]))
     topk_wand.last_stats = {"blocks_total": blocks_total, "blocks_decoded": blocks_decoded}
     return [(d, sc) for sc, d in top[:k]]
+
+
+def search_segments_cached(
+    di: DiskIndex, query: str, per_shard: int = PER_SHARD_LIMIT
+) -> DataFrame:
+    """``search_segments`` behind a query-result LRU — the Spark analog of
+    the reference's Redis result cache (web/service/search.go:92-108,
+    12 h TTL). No TTL here: a DiskIndex handle is immutable, so a cached
+    result can never go stale (reload the index => fresh handle => fresh
+    cache)."""
+    key = (query, per_shard)
+    hit = di.result_cache.get(key)
+    if hit is None:
+        hit = search_segments(di, query, per_shard)
+        di.result_cache.put(key, hit)
+    return hit

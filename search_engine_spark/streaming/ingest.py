@@ -103,11 +103,17 @@ def ingest_batch(
         batch_df.unpersist()
         return
     fp = corpus_fingerprint(batch_df)
-    seg = merge_salted(
-        build_segments(build_postings(batch_df), n_buckets, n_salts, salt_threshold)
-    )
+    from pyspark import StorageLevel
+
+    # persist between encode and merge — merge_salted references its input
+    # 3x (see write_index); without this the encode kernel runs per branch
+    encoded = build_segments(
+        build_postings(batch_df), n_buckets, n_salts, salt_threshold
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    seg = merge_salted(encoded)
     gen_dir = os.path.join(index_dir, "segments", f"gen={batch_id}")
     seg.write.mode("overwrite").parquet(gen_dir)  # replay-idempotent
+    encoded.unpersist()
     batch_df.write.mode("append").parquet(os.path.join(index_dir, "documents"))
     stats = spark.read.parquet(gen_dir).agg(
         F.count("*").alias("n_terms"), F.sum("df").alias("n_postings")

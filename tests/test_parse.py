@@ -58,3 +58,13 @@ def test_parse_query():
     assert pq.site == "a.com"
     assert parse_query("").keywords == []
     assert parse_query("   ").keywords == []
+
+
+def test_has_illegal_keywords():
+    from search_engine_spark.operators.search import has_illegal_keywords
+
+    assert not has_illegal_keywords("hello", None)
+    assert not has_illegal_keywords("hello", [])
+    assert has_illegal_keywords("buy illegal thing", ["illegal"])
+    assert not has_illegal_keywords("clean query", ["illegal", "bad"])
+    assert has_illegal_keywords("so bad", ["illegal", "bad"])

@@ -154,3 +154,17 @@ def test_fingerprint_invalidates_on_input_change(spark, docs, tmp_path):
     fp1 = corpus_fingerprint(docs)
     fp2 = corpus_fingerprint(docs.limit(100))
     assert fp1 != fp2
+
+
+def test_search_segments_cached(spark, index_dir):
+    from search_engine_spark.operators.wand import (
+        search_segments,
+        search_segments_cached,
+    )
+
+    di = load_index(spark, index_dir)
+    a = search_segments_cached(di, "table")
+    b = search_segments_cached(di, "table")
+    assert a is b  # LRU returns the identical immutable DataFrame
+    exp = [(r.doc_id, r.rank) for r in search_segments(di, "table").collect()]
+    assert [(r.doc_id, r.rank) for r in a.collect()] == exp
