@@ -322,3 +322,164 @@ def slice_blocks(blob: bytes, block_offsets: np.ndarray, n_docs: int, lo_block: 
     body = varint_decode(np.frombuffer(blob[start:end], np.uint8)).astype(np.int64)
     n_in_slice = min(n_docs - lo_block * BLOCK_SIZE, (hi_block - lo_block) * BLOCK_SIZE)
     return _decode_values(body, n_in_slice)
+
+
+def pack_position_deltas(
+    pos: np.ndarray, starts: np.ndarray, title_ends: np.ndarray, npos: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Map-side packing: per-doc position-delta varint byte strings.
+
+    ``pos`` is the flat concatenation of per-(doc,term) position lists
+    (title field first, each field ascending); ``starts`` the per-doc
+    start offsets. Returns (bytes uint8, per-doc byte lengths) where each
+    doc's slice is EXACTLY the pdelta section the block layout expects —
+    so the reduce side assembles blobs by byte concatenation and the
+    shuffle moves ~1-2 bytes per position instead of an int32.
+    """
+    if pos.size == 0:
+        return np.empty(0, np.uint8), np.zeros(starts.size, np.int64)
+    deltas, _ = _position_deltas(
+        pos.astype(np.int64, copy=False),
+        starts.astype(np.int64, copy=False),
+        title_ends.astype(np.int64, copy=False),
+        npos.astype(np.int64, copy=False),
+    )
+    buf, nbytes = varint_encode(deltas)
+    doc_blen = np.add.reduceat(nbytes, starts) if starts.size else np.empty(0, np.int64)
+    doc_blen[npos == 0] = 0  # reduceat repeats the next group for empties
+    return buf, doc_blen
+
+
+def encode_bucket_packed(
+    term_ids: np.ndarray,
+    doc_ids: np.ndarray,
+    title_ends: np.ndarray,
+    pos_counts: np.ndarray,
+    pd_offsets: np.ndarray,
+    pd_bytes: np.ndarray,
+) -> EncodedBucket:
+    """encode_bucket twin for PRE-PACKED per-doc position-delta bytes.
+
+    Inputs are sorted by (term_id, doc_id); ``pd_bytes[pd_offsets[i]:
+    pd_offsets[i+1]]`` is doc i's packed pdelta section (output of
+    ``pack_position_deltas``). Produces byte-identical blobs to
+    ``encode_bucket`` — only the integer streams (header, gaps, npos,
+    title_end) are varint-encoded here; the position bytes are spliced
+    in untouched.
+    """
+    N = doc_ids.size
+    if N == 0:
+        e = np.empty(0, np.int64)
+        return EncodedBucket(e, e, e, [], [], [], [])
+    term_ids = term_ids.astype(np.int64, copy=False)
+    doc_ids = doc_ids.astype(np.int64, copy=False)
+    title_ends = title_ends.astype(np.int64, copy=False)
+    pos_counts = pos_counts.astype(np.int64, copy=False)
+
+    is_term_start = np.ones(N, bool)
+    is_term_start[1:] = term_ids[1:] != term_ids[:-1]
+    term_starts = np.flatnonzero(is_term_start)
+    uniq_terms = term_ids[term_starts]
+    T = term_starts.size
+    term_doc_counts = np.diff(np.append(term_starts, N))
+    term_of_doc = np.cumsum(is_term_start) - 1
+
+    rank_in_term = np.arange(N) - term_starts[term_of_doc]
+    is_block_start = (rank_in_term % BLOCK_SIZE) == 0
+    block_start_docs = np.flatnonzero(is_block_start)
+    B = block_start_docs.size
+    block_of_doc = np.cumsum(is_block_start) - 1
+    nb = np.diff(np.append(block_start_docs, N))
+    term_of_block = term_of_doc[block_start_docs]
+    first_block_of_term = block_of_doc[term_starts]
+
+    # --- integer stream: headers + per-block gaps/npos/te (NO pdeltas) ----
+    block_vlen = 3 * nb
+    block_vends = np.cumsum(block_vlen)
+    block_vrel = block_vends - block_vlen
+    block_vstarts = block_vrel + term_of_block + 1  # + headers before
+    term_vstarts = block_vrel[first_block_of_term] + term_of_block[first_block_of_term]
+    total_values = int(block_vends[-1]) + T
+    stream = np.empty(total_values, np.int64)
+    stream[term_vstarts] = term_doc_counts
+    gaps = doc_ids.copy()
+    gaps[1:] = doc_ids[1:] - doc_ids[:-1]
+    gaps[block_start_docs] = doc_ids[block_start_docs]
+    rank_in_block = np.arange(N) - block_start_docs[block_of_doc]
+    base = block_vstarts[block_of_doc]
+    stream[base + rank_in_block] = gaps
+    stream[base + nb[block_of_doc] + rank_in_block] = pos_counts
+    stream[base + 2 * nb[block_of_doc] + rank_in_block] = title_ends
+
+    buf_i, nbytes_i = varint_encode(stream)
+    vstart_to_byte = np.zeros(total_values + 1, np.int64)
+    np.cumsum(nbytes_i, out=vstart_to_byte[1:])
+    hdr_b0 = vstart_to_byte[term_vstarts]
+    hdr_b1 = vstart_to_byte[term_vstarts + 1]
+    ints_b0 = vstart_to_byte[block_vstarts]
+    ints_b1 = vstart_to_byte[block_vstarts + block_vlen]
+
+    # --- per-block pdelta byte spans (docs contiguous in sorted order) ----
+    doc_blen = np.diff(pd_offsets)
+    pd_block_start = pd_offsets[:-1][block_start_docs]
+    pd_block_len = np.add.reduceat(doc_blen, block_start_docs) if N else np.empty(0, np.int64)
+
+    # --- assemble: [hdr_t][ints_b0][pd_b0][ints_b1][pd_b1]... ------------
+    ints_len = ints_b1 - ints_b0
+    hdr_len = hdr_b1 - hdr_b0
+    n_sec = T + 2 * B
+    sec_len = np.empty(n_sec, np.int64)
+    hdr_idx = np.arange(T) + 2 * first_block_of_term
+    ints_idx = term_of_block + 1 + 2 * np.arange(B)
+    pd_idx = ints_idx + 1
+    sec_len[hdr_idx] = hdr_len
+    sec_len[ints_idx] = ints_len
+    sec_len[pd_idx] = pd_block_len
+    sec_off = np.zeros(n_sec + 1, np.int64)
+    np.cumsum(sec_len, out=sec_off[1:])
+
+    out = np.empty(int(sec_off[-1]), np.uint8)
+    # contiguous span copies (vectorized per section via ragged scatter)
+    _scatter_spans(out, sec_off[hdr_idx], buf_i, hdr_b0, hdr_len)
+    _scatter_spans(out, sec_off[ints_idx], buf_i, ints_b0, ints_len)
+    _scatter_spans(out, sec_off[pd_idx], pd_bytes, pd_block_start, pd_block_len)
+
+    term_b0 = sec_off[hdr_idx]
+    term_b1 = np.append(term_b0[1:], sec_off[-1])
+    block_out_off = sec_off[ints_idx] - term_b0[term_of_block]
+
+    block_last = doc_ids[np.append(block_start_docs[1:] - 1, N - 1)]
+    block_max = np.maximum.reduceat(pos_counts, block_start_docs)
+
+    raw = out.tobytes()
+    blobs, bl_last, bl_max, bl_off = [], [], [], []
+    term_block_bounds = np.append(first_block_of_term, B)
+    for t in range(T):
+        b0, b1 = term_block_bounds[t], term_block_bounds[t + 1]
+        blobs.append(raw[int(term_b0[t]) : int(term_b1[t])])
+        bl_last.append(block_last[b0:b1])
+        bl_max.append(block_max[b0:b1].astype(np.int32))
+        bl_off.append(block_out_off[b0:b1])
+    ctfs = np.add.reduceat(pos_counts, term_starts)
+    return EncodedBucket(uniq_terms, term_doc_counts, ctfs, blobs, bl_last, bl_max, bl_off)
+
+
+def _scatter_spans(
+    out: np.ndarray,
+    out_starts: np.ndarray,
+    src: np.ndarray,
+    src_starts: np.ndarray,
+    lens: np.ndarray,
+) -> None:
+    """out[out_starts[i] : +lens[i]] = src[src_starts[i] : +lens[i]] for
+    all i, fully vectorized (repeat/arange ragged index trick)."""
+    total = int(lens.sum())
+    if total == 0:
+        return
+    nz = lens > 0
+    os_, ss_, ln_ = out_starts[nz], src_starts[nz], lens[nz]
+    excl = np.zeros(ln_.size, np.int64)
+    np.cumsum(ln_[:-1], out=excl[1:])
+    ar = np.arange(total, dtype=np.int64)
+    within = ar - np.repeat(excl, ln_)
+    out[np.repeat(os_, ln_) + within] = src[np.repeat(ss_, ln_) + within]

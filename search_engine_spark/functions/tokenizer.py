@@ -217,6 +217,74 @@ def postings_batches_arrow(batches, text_cols=("title", "body"), id_col="doc_id"
         )
 
 
+def postings_batches_arrow_packed(batches, text_cols=("title", "body"), id_col="doc_id"):
+    """mapInArrow kernel: (doc_id, title, body) -> packed postings rows
+    (doc_id, term_id, title_end, npos, pos_blob).
+
+    Same map-side grouping as ``postings_batches_arrow``, but each
+    posting's positions are delta+varint packed HERE (the exact per-doc
+    pdelta section of the segment blob layout), so the index-build
+    shuffle moves ~1-2 bytes per position instead of a list<int32>
+    element, and the reduce-side encode splices bytes instead of
+    re-encoding (codec.encode_bucket_packed).
+    """
+    import pyarrow as pa
+
+    from . import codec
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("term_id", pa.int64()),
+            ("title_end", pa.int32()),
+            ("npos", pa.int32()),
+            ("pos_blob", pa.binary()),
+        ]
+    )
+    for batch in batches:
+        doc_ids = batch.column(id_col).to_numpy()
+        keys_parts, pos_parts, flag_parts = [], [], []
+        for field in text_cols:
+            texts = batch.column(field).to_pandas().fillna("").astype(str)
+            row_idx, term_id, pos = tokenize_batch(texts)
+            keys_parts.append((row_idx << _ROW_SHIFT) | term_id)
+            pos_parts.append(pos)
+            flag_parts.append(
+                np.full(len(term_id), 1 if field == "title" else 0, np.int64)
+            )
+        keys = np.concatenate(keys_parts)
+        if keys.size == 0:
+            yield pa.RecordBatch.from_pylist([], schema=out_schema)
+            continue
+        pos = np.concatenate(pos_parts).astype(np.int64)
+        flags = np.concatenate(flag_parts)
+        order = np.argsort(keys, kind="stable")  # title entries stay first
+        keys, pos, flags = keys[order], pos[order], flags[order]
+        starts = np.flatnonzero(np.diff(keys, prepend=keys[0] - 1))
+        group_doc = doc_ids[(keys[starts] >> _ROW_SHIFT)]
+        group_term = keys[starts] & _TERM_MASK
+        title_end = np.add.reduceat(flags, starts)
+        counts = np.diff(np.append(starts, keys.size))
+        buf, blen = codec.pack_position_deltas(pos, starts, title_end, counts)
+        off32 = np.zeros(starts.size + 1, np.int32)
+        np.cumsum(blen, out=off32[1:])
+        pos_blob = pa.BinaryArray.from_buffers(
+            pa.binary(),
+            starts.size,
+            [None, pa.py_buffer(off32.tobytes()), pa.py_buffer(buf.tobytes())],
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(group_doc, pa.int64()),
+                pa.array(group_term, pa.int64()),
+                pa.array(title_end.astype(np.int32), pa.int32()),
+                pa.array(counts.astype(np.int32), pa.int32()),
+                pos_blob,
+            ],
+            schema=out_schema,
+        )
+
+
 def tokenize_query(text: str) -> list[tuple[int, list[int]]]:
     """Query-side tokenize (indexer.go:97-107): distinct term_ids with their
     query position lists, insertion-ordered. Returns [(term_id, [pos...])].

@@ -115,6 +115,30 @@ def build_postings(documents: DataFrame, with_title: bool = True) -> DataFrame:
     )
 
 
+def build_postings_packed(documents: DataFrame, with_title: bool = True) -> DataFrame:
+    """documents -> packed postings (term_id, doc_id, title_end, npos,
+    pos_blob).
+
+    Same single mapInArrow pass as ``build_postings`` but positions leave
+    the map side already delta+varint packed (the blob layout's per-doc
+    pdelta section), so the index-build shuffle moves compact bytes and
+    the reduce-side encode splices instead of re-encoding. This is the
+    write-path flavor; the query-facing logical Index keeps the list
+    form.
+    """
+    from functools import partial as _partial
+
+    from ..functions.tokenizer import postings_batches_arrow_packed
+
+    cols = ("title", "body") if with_title else ("body",)
+    kernel = _partial(postings_batches_arrow_packed, text_cols=cols)
+    inp = documents.select("doc_id", *cols)
+    return inp.mapInArrow(
+        kernel,
+        schema="doc_id long, term_id long, title_end int, npos int, pos_blob binary",
+    )
+
+
 def build_postings_shuffle(documents: DataFrame, with_title: bool = True) -> DataFrame:
     """Shuffle-based postings build (explode -> groupBy) kept as the
     cross-check twin of the map-side kernel; the analog of the

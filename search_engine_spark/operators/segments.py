@@ -104,6 +104,59 @@ def _encode_kernel_arrow(table: pa.Table) -> pa.Table:
     )
 
 
+def _encode_kernel_packed(table: pa.Table) -> pa.Table:
+    """applyInArrow kernel for PRE-PACKED postings (pos_blob binary).
+
+    Positions arrived as per-doc delta+varint byte strings (packed
+    map-side in the tokenizer kernel), so this kernel only varint-encodes
+    the small integer streams and splices the position bytes — no
+    position re-encoding, no list materialization. Output blobs are
+    byte-identical to the list-path kernel (tested)."""
+    t = table.combine_chunks()
+    term = t.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    te = t.column("title_end").to_numpy(zero_copy_only=False).astype(np.int64)
+    npos = t.column("npos").to_numpy(zero_copy_only=False).astype(np.int64)
+    ba = t.column("pos_blob")
+    ba = ba.combine_chunks() if isinstance(ba, pa.ChunkedArray) else ba
+    bufs = ba.buffers()  # [validity, int32 offsets, data]
+    raw_off = np.frombuffer(bufs[1], np.int32)
+    boffsets = raw_off[ba.offset : ba.offset + len(ba) + 1].astype(np.int64)
+    bvalues = (
+        np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    )
+
+    order = np.lexsort((doc, term))
+    # gather the per-doc byte strings into sorted order
+    src_starts = boffsets[:-1][order]
+    lens = (boffsets[1:] - boffsets[:-1])[order]
+    off_sorted = np.zeros(order.size + 1, np.int64)
+    np.cumsum(lens, out=off_sorted[1:])
+    sorted_bytes = np.empty(int(off_sorted[-1]), np.uint8)
+    codec._scatter_spans(sorted_bytes, off_sorted[:-1], bvalues, src_starts, lens)
+
+    eb = codec.encode_bucket_packed(
+        term[order], doc[order], te[order], npos[order], off_sorted, sorted_bytes
+    )
+    n_terms = len(eb.term_ids)
+    bucket = int(t.column("bucket")[0].as_py()) if n_terms else 0
+    salt = int(t.column("salt")[0].as_py()) if n_terms else 0
+    return pa.table(
+        {
+            "bucket": pa.array(np.full(n_terms, bucket, np.int32), pa.int32()),
+            "term_id": pa.array(eb.term_ids, pa.int64()),
+            "salt": pa.array(np.full(n_terms, salt, np.int32), pa.int32()),
+            "df": pa.array(eb.dfs, pa.int64()),
+            "ctf": pa.array(eb.ctfs, pa.int64()),
+            "n_docs": pa.array(eb.dfs, pa.int64()),
+            "blob": pa.array(eb.blobs, pa.binary()),
+            "block_last": pa.array([a.tolist() for a in eb.block_last], pa.list_(pa.int64())),
+            "block_max_tf": pa.array([a.tolist() for a in eb.block_max_tf], pa.list_(pa.int32())),
+            "block_offsets": pa.array([a.tolist() for a in eb.block_offsets], pa.list_(pa.int64())),
+        }
+    )
+
+
 def build_segments(
     postings: DataFrame,
     n_buckets: int = 64,
@@ -117,7 +170,14 @@ def build_segments(
     pathological posting list; ``merge_salted`` fuses them afterwards.
     The groupBy keys (bucket, salt) give ~n_buckets×n_salts groups —
     size n_buckets so groups ≈ 2-4× parallelism at the target scale.
+
+    Accepts BOTH postings flavors: list form (``positions array<int>``,
+    from ``build_postings``) and packed form (``pos_blob binary`` from
+    ``build_postings_packed``) — the packed flavor shuffles ~4× fewer
+    bytes and splices instead of re-encoding. Output blobs are
+    byte-identical either way.
     """
+    packed = "pos_blob" in postings.columns
     df_per_term = postings.groupBy("term_id").agg(F.count("*").alias("_df"))
     hot = df_per_term.filter(F.col("_df") > salt_threshold).select("term_id")
     salted = (
@@ -132,9 +192,8 @@ def build_segments(
         )
         .drop("_hot")
     )
-    return salted.groupBy("bucket", "salt").applyInArrow(
-        _encode_kernel_arrow, SEGMENT_SCHEMA
-    )
+    kernel = _encode_kernel_packed if packed else _encode_kernel_arrow
+    return salted.groupBy("bucket", "salt").applyInArrow(kernel, SEGMENT_SCHEMA)
 
 
 def merge_decoded_parts(
@@ -306,7 +365,9 @@ def write_index(
         if m.get("status") == "complete" and m.get("fingerprint") == fp
     }
 
-    postings = build_postings(docs, with_title=with_title).withColumn(
+    from .postings import build_postings_packed
+
+    postings = build_postings_packed(docs, with_title=with_title).withColumn(
         "_bucket", F.pmod(F.xxhash64("term_id"), F.lit(n_buckets)).cast("int")
     )
     # NOT cached: the map-side tokenize recomputes in ~seconds, while

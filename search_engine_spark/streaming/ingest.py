@@ -107,8 +107,10 @@ def ingest_batch(
 
     # persist between encode and merge — merge_salted references its input
     # 3x (see write_index); without this the encode kernel runs per branch
+    from ..operators.postings import build_postings_packed
+
     encoded = build_segments(
-        build_postings(batch_df), n_buckets, n_salts, salt_threshold
+        build_postings_packed(batch_df), n_buckets, n_salts, salt_threshold
     ).persist(StorageLevel.MEMORY_AND_DISK)
     seg = merge_salted(encoded)
     gen_dir = os.path.join(index_dir, "segments", f"gen={batch_id}")

@@ -95,3 +95,71 @@ def test_compression_beats_absolute():
     )
     # absolute varint of 1e6-range ids needs 3 bytes; gaps need 1
     assert len(blob) < 1000 * (1 + 1 + 1 + 1) + 50
+
+
+def test_packed_build_segments_byte_identical(spark):
+    """The packed shuffle path (pos_blob binary) must produce blobs
+    byte-identical to the list path."""
+    from search_engine_spark.operators.postings import (
+        build_documents_from_testdata,
+        build_postings,
+        build_postings_packed,
+    )
+    from search_engine_spark.operators.segments import build_segments
+
+    docs = build_documents_from_testdata(spark, "/root/testdata/sf0.001")
+    a = build_segments(build_postings(docs), n_buckets=8, n_salts=2, salt_threshold=50)
+    b = build_segments(
+        build_postings_packed(docs), n_buckets=8, n_salts=2, salt_threshold=50
+    )
+
+    def key(rows):
+        return {
+            (r.term_id, r.salt): (
+                bytes(r.blob),
+                tuple(r.block_last),
+                tuple(r.block_max_tf),
+                tuple(r.block_offsets),
+                r.df,
+                r.ctf,
+            )
+            for r in rows
+        }
+
+    ka, kb = key(a.collect()), key(b.collect())
+    assert set(ka) == set(kb)
+    assert ka == kb
+
+
+def test_encode_bucket_packed_matches_reference():
+    import numpy as np
+
+    from search_engine_spark.functions import codec
+
+    rng = np.random.default_rng(7)
+    for _trial in range(10):
+        rows = []
+        for t in range(int(rng.integers(1, 6))):
+            docs = np.sort(rng.choice(5_000, int(rng.integers(1, 200)), replace=False))
+            for d in docs:
+                npos = int(rng.integers(1, 8))
+                te = int(rng.integers(0, npos + 1))
+                tpos = np.sort(rng.choice(500, te, replace=False))
+                bpos = np.sort(rng.choice(500, npos - te, replace=False))
+                rows.append((t * 7 + 1, d, te, np.concatenate([tpos, bpos])))
+        term = np.array([r[0] for r in rows], np.int64)
+        doc = np.array([r[1] for r in rows], np.int64)
+        te = np.array([r[2] for r in rows], np.int64)
+        counts = np.array([len(r[3]) for r in rows], np.int64)
+        flat = np.concatenate([r[3] for r in rows]).astype(np.int64)
+        eb1 = codec.encode_bucket(term, doc, te, counts, flat)
+        starts = np.zeros(counts.size, np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        buf, blen = codec.pack_position_deltas(flat, starts, te, counts)
+        off = np.zeros(counts.size + 1, np.int64)
+        np.cumsum(blen, out=off[1:])
+        eb2 = codec.encode_bucket_packed(term, doc, te, counts, off, buf)
+        assert list(eb1.term_ids) == list(eb2.term_ids)
+        for i in range(len(eb1.term_ids)):
+            assert eb1.blobs[i] == eb2.blobs[i]
+            assert list(eb1.block_offsets[i]) == list(eb2.block_offsets[i])
