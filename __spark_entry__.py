@@ -24,7 +24,7 @@ from search_engine_spark.operators.postings import (
     build_documents_from_testdata,
     build_index,
 )
-from search_engine_spark.operators.highlight import enrich_topk
+from search_engine_spark.operators.highlight import enrich_ranked, enrich_topk
 from search_engine_spark.operators.search import search
 from search_engine_spark.operators.segments import DiskIndex, load_index, write_index
 from search_engine_spark.operators.wand import search_segments
@@ -136,6 +136,44 @@ def _postings_term_q(term: str):
     return run
 
 
+def _search_highlight_q(query: str, k: int = 10):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from search_engine_spark.functions.tokenizer import tokenize_query
+        from search_engine_spark.operators.search import parse_query, search
+
+        idx = _index(spark, sf_dir)
+        ranked = _rounded_rank(search(idx, query)).filter(F.col("rank") <= k)
+        pq = parse_query(query)
+        term_ids = [t for t, _ in tokenize_query(pq.keywords[0])] if pq.keywords else []
+        return enrich_ranked(idx, ranked, term_ids).select(
+            "doc_id", "score", "rank", "url", "abstract"
+        )
+
+    return run
+
+
+def _media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media feature vectors with the array projected to scalar columns
+    (f0..f7) so the driver canonicalizer can sort/hash the rows."""
+    feat = MM.extract_features(MM.synthesize_media(spark, 64), dim=8)
+    return feat.select(
+        "media_id",
+        *[F.round(F.col("feat")[i], 6).alias(f"f{i}") for i in range(8)],
+        "n_bytes",
+        "ok",
+    )
+
+
+def _media_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = MM.sample_frames(MM.synthesize_media(spark, 64), every_ms=500, dim=4)
+    return fr.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_ms").cast("long").alias("frame_ms"),
+        *[F.round(F.col("frame_feat")[i], 6).alias(f"f{i}") for i in range(4)],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: multi-keyword AND search, enriched with URLs, on sf0.001."""
     return _search_enriched_q("table spark")(spark, "/root/testdata/sf0.001")
@@ -158,14 +196,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seg_search_and": _seg_search_q("table spark"),
         "seg_search_not": _seg_search_q("table -dup"),
         "seg_search_site": _seg_search_q("table site:src3"),
-        # highlight/abstract enrichment (H1-H4; no SQL oracle — the
-        # interval/window/abstract semantics are pytest-checked against the
-        # verbatim-Go oracle in tests/test_highlight.py)
-        "search_highlight": lambda s, d: enrich_topk(
-            _index(s, d), "table", k=10
-        ).select(
-            "doc_id", F.round("score", 6).alias("score"), "rank", "url", "abstract"
-        ),
+        # highlight/abstract enrichment (H1-H4) — full value oracle: the
+        # interval-merge/window/abstract arithmetic is reproduced in DuckDB
+        # SQL (sqlgen.search_highlight_sql); ranking feeds the kernel at
+        # 6 dp so ties rank identically in both engines
+        "search_highlight": _search_highlight_q("table", k=10),
         # --- training-data pipeline: dedup ---------------------------------
         "dedup_exact": lambda s, d: D.exact_dedup(_documents(s, d)),
         "dedup_jaccard": lambda s, d: D.ngram_jaccard_pairs(_documents(s, d)),
@@ -183,11 +218,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- event windowing --------------------------------------------------
         "events_hourly": lambda s, d: E.hourly_event_stats(_events(s, d)),
         "events_sessionize": lambda s, d: E.sessionize(_events(s, d)),
-        # --- multimodal plumbing (binary payloads; rows-only check — the
-        # decode stub + mapInPandas batch shapes are pytest-verified in
-        # tests/test_multimodal.py) ------------------------------------------
-        "media_features": lambda s, d: MM.extract_features(MM.synthesize_media(s, 64)),
-        "media_frames": lambda s, d: MM.sample_frames(MM.synthesize_media(s, 64)),
+        # --- multimodal plumbing (binary payloads; feature vectors are
+        # projected to scalar per-dimension columns — exact int-sum/float64
+        # math, value-checked against the sha256-keystream DuckDB oracle) ----
+        "media_features": _media_features_q,
+        "media_frames": _media_frames_q,
     }
 
 
@@ -207,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "seg_search_and": sqlgen.search_sql("table spark"),
         "seg_search_not": sqlgen.search_sql("table -dup"),
         "seg_search_site": sqlgen.search_sql("table site:src3"),
+        "search_highlight": sqlgen.search_highlight_sql("table", 10),
         "dedup_exact": sqlgen.dedup_exact_sql(),
         "dedup_jaccard": sqlgen.dedup_jaccard_sql(),
         "dedup_minhash": sqlgen.dedup_minhash_sql(),
@@ -220,4 +256,6 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": sqlgen.fingerprint_sql(),
         "events_hourly": sqlgen.events_hourly_sql(),
         "events_sessionize": sqlgen.sessionize_sql(),
+        "media_features": sqlgen.media_features_sql(),
+        "media_frames": sqlgen.media_frames_sql(),
     }

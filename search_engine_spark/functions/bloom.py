@@ -36,7 +36,16 @@ def go_hash(s: str, seed: int) -> int:
         h = (h * seed + ord(ch)) & 0xFFFFFFFFFFFFFFFF
     if h >= 1 << 63:
         h -= 1 << 64
-    return -h if h < 0 else h  # Go AbsInt (MinInt64 stays negative, as in Go)
+    return _abs_int64(h)
+
+
+def _abs_int64(h: int) -> int:
+    """Go AbsInt over int64: -MinInt64 overflows back to MinInt64 (stays
+    negative) — matching hash_batch's wrapping np.int64 negation, so the
+    scalar and vector paths floor-mod to the same bit index."""
+    if h == -(1 << 63):
+        return h
+    return -h if h < 0 else h
 
 
 def hash_batch(strings: pd.Series | list[str], n_bits: int) -> np.ndarray:

@@ -112,6 +112,10 @@ def _position_deltas(pos: np.ndarray, pos_starts: np.ndarray, title_ends: np.nda
     body_starts = pos_starts + title_ends
     valid = body_starts < pos_starts + npos
     resets = np.unique(np.concatenate([pos_starts, body_starts[valid]]))
+    # a TRAILING zero-position doc has pos_starts == pos.size (out of
+    # bounds); mid-array empties point at the next doc's start, which is
+    # already an absolute-reset index, so dropping OOB entries is exact
+    resets = resets[resets < pos.size]
     out[resets] = pos[resets]
     return out, resets
 
@@ -345,8 +349,15 @@ def pack_position_deltas(
         npos.astype(np.int64, copy=False),
     )
     buf, nbytes = varint_encode(deltas)
-    doc_blen = np.add.reduceat(nbytes, starts) if starts.size else np.empty(0, np.int64)
-    doc_blen[npos == 0] = 0  # reduceat repeats the next group for empties
+    # reduceat only over docs that HAVE positions: their starts are
+    # strictly increasing and in-bounds (a trailing empty doc's start ==
+    # pos.size, which reduceat rejects); empty docs keep length 0, and a
+    # non-empty doc's group extends over any empty docs that follow it —
+    # they contribute no positions, so the sum is exact.
+    doc_blen = np.zeros(starts.size, np.int64)
+    nz = npos > 0
+    if nz.any():
+        doc_blen[nz] = np.add.reduceat(nbytes, starts[nz])
     return buf, doc_blen
 
 

@@ -77,13 +77,16 @@ def word_shingles(
     )
 
 
+DEFAULT_MAX_SHINGLE_DF = 128
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     n: int = 3,
     threshold: float = 0.6,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard: (doc_a, doc_b, jaccard).
 
@@ -97,7 +100,9 @@ def ngram_jaccard_pairs(
     the surviving shingles, so the result is exact Jaccard over the
     non-boilerplate shingle sets. A shingle with df=d contributes d² join
     rows; the cap turns a license header shared by 10^8 files from 10^16
-    join rows into zero.
+    join rows into zero. Capped by DEFAULT (the uncapped quadratic is the
+    first thing that dies at 100× scale); pass ``max_shingle_df=None``
+    explicitly to get raw all-shingle Jaccard on small corpora.
     """
     sh = word_shingles(documents, n=n, text_col=text_col, id_col=id_col)
     if max_shingle_df is not None:
@@ -131,6 +136,22 @@ def ngram_jaccard_pairs(
     )
 
 
+# MinHash seeded-hash family: ONE md5 per shingle, split into two 28-bit
+# ints (a, b); hash_s = (a + s*b) mod P with P = 2^31 - 1 (Mersenne).
+# Classic universal-hash derivation — 16× less hashing than md5-per-seed
+# (was 36 s of the sf0.1 bench), and exactly reproducible in any SQL
+# engine with md5 + integer arithmetic (no 64-bit overflow: a + s*b <
+# 2^28 + num_hashes * 2^28).
+MINHASH_P = 2_147_483_647
+
+
+def _shingle_ab(col: F.Column) -> tuple[F.Column, F.Column]:
+    hx = F.md5(col)
+    a = F.conv(F.substring(hx, 1, 7), 16, 10).cast("long")
+    b = F.conv(F.substring(hx, 8, 7), 16, 10).cast("long")
+    return a, b
+
+
 def minhash_signatures(
     documents: DataFrame,
     num_hashes: int = 16,
@@ -140,14 +161,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature rows: (doc_id, seed, minhash).
 
-    minhash(doc, s) = lexicographic MIN of md5(f"{s}:{shingle}") over the
-    doc's distinct shingles — portable (string min of hex digests), and
-    a single groupBy (one shuffle) for all seeds at once.
+    minhash(doc, s) = MIN over the doc's distinct shingles of the seeded
+    hash (a + s*b) mod P — one md5 per shingle total, and a single groupBy
+    (one shuffle) for all seeds at once.
     """
     sh = word_shingles(documents, n=n, text_col=text_col, id_col=id_col)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    seeded = sh.select("doc_id", "shingle", seeds)
-    h = F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
+    a, b = _shingle_ab(F.col("shingle"))
+    ab = sh.select("doc_id", a.alias("_a"), b.alias("_b"))
+    seeded = ab.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        "_a",
+        "_b",
+    )
+    h = (F.col("_a") + F.col("seed") * F.col("_b")) % F.lit(MINHASH_P)
     return (
         seeded.select("doc_id", "seed", h.alias("_h"))
         .groupBy("doc_id", "seed")
@@ -167,16 +194,19 @@ def minhash_band_keys(
 
     All ``num_hashes`` minima are computed as parallel aggregates in ONE
     groupBy over the distinct-shingle rows — no seed explode, so the
-    shuffle moves |shingles| rows instead of |shingles|×K. band_hash =
-    md5 of the band's minhashes joined by ',' in seed order (identical
-    to the oracle's ``string_agg(h, ',' ORDER BY s)``).
+    shuffle moves |shingles| rows instead of |shingles|×K, and each row
+    carries ONE md5 (split into the (a, b) pair) rather than K digests.
+    band_hash = md5 of the band's minhashes joined by ',' in seed order
+    (identical to the oracle's ``string_agg(h::VARCHAR, ',' ORDER BY s)``).
     """
     sh = word_shingles(documents, n=n, text_col=text_col, id_col=id_col)
+    a, b = _shingle_ab(F.col("shingle"))
+    ab = sh.select("doc_id", a.alias("_a"), b.alias("_b"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"_h{s}")
+        F.min((F.col("_a") + F.lit(s) * F.col("_b")) % F.lit(MINHASH_P)).alias(f"_h{s}")
         for s in range(num_hashes)
     ]
-    mh = sh.groupBy("doc_id").agg(*aggs)
+    mh = ab.groupBy("doc_id").agg(*aggs)
     bands = []
     for b in range(num_hashes // band_size):
         cols = [F.col(f"_h{b * band_size + i}") for i in range(band_size)]

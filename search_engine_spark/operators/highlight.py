@@ -184,20 +184,12 @@ def _enrich_kernel(
         )
 
 
-def enrich_topk(index: Index, query: str, k: int = 10) -> DataFrame:
-    """search → top-k → join documents → highlight+abstract.
+def enrich_ranked(index: Index, ranked: DataFrame, term_ids: list[int]) -> DataFrame:
+    """ranked (doc_id, score, rank) → join documents → highlight+abstract.
 
     The ranked side is ≤ 50 rows, so Catalyst broadcasts it into the
     documents join (no shuffle of the big table); the pandas pass then
-    touches only those rows. Highlights come from the FIRST keyword's
-    tokens — the reference's AND fold keeps the first keyword's items
-    (intended semantics of search.go:58-84, SURVEY §7.4.4a).
-    """
-    ranked = search(index, query, limit=k)
-    pq = parse_query(query)
-    term_ids = (
-        [tid for tid, _ in tokenize_query(pq.keywords[0])] if pq.keywords else []
-    )
+    touches only those rows."""
     docs = index.documents.select("doc_id", "url", "title", "body")
     joined = docs.join(F.broadcast(ranked), "doc_id")
     if not term_ids:
@@ -205,3 +197,18 @@ def enrich_topk(index: Index, query: str, k: int = 10) -> DataFrame:
     return joined.mapInPandas(
         lambda it: _enrich_kernel(it, term_ids), schema=_ENRICHED_SCHEMA
     ).orderBy("rank")
+
+
+def enrich_topk(index: Index, query: str, k: int = 10) -> DataFrame:
+    """search → top-k → join documents → highlight+abstract.
+
+    Highlights come from the FIRST keyword's tokens — the reference's AND
+    fold keeps the first keyword's items (intended semantics of
+    search.go:58-84, SURVEY §7.4.4a).
+    """
+    ranked = search(index, query, limit=k)
+    pq = parse_query(query)
+    term_ids = (
+        [tid for tid, _ in tokenize_query(pq.keywords[0])] if pq.keywords else []
+    )
+    return enrich_ranked(index, ranked, term_ids)

@@ -38,13 +38,13 @@ MEDIA_SCHEMA = (
     "width int, height int, duration_ms int, sha256 string"
 )
 
-FEATURES_SCHEMA = "media_id long, feat array<float>, n_bytes long, ok boolean"
+FEATURES_SCHEMA = "media_id long, feat array<double>, n_bytes long, ok boolean"
 
 THUMB_SCHEMA = (
     "media_id long, thumb_w int, thumb_h int, thumb_mean array<float>, ok boolean"
 )
 
-FRAMES_SCHEMA = "media_id long, frame_idx int, frame_ms int, frame_feat array<float>"
+FRAMES_SCHEMA = "media_id long, frame_idx int, frame_ms int, frame_feat array<double>"
 
 
 def synthesize_media(
@@ -78,12 +78,28 @@ def synthesize_media(
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB decode — deterministic fake pixels from the payload bytes.
+try:  # real codec path when the deployment ships PIL (this container doesn't)
+    from PIL import Image as _PIL_Image  # type: ignore
+except ImportError:  # pragma: no cover - exercised via monkeypatch in tests
+    _PIL_Image = None
 
-    A real implementation would be ``PIL.Image.open(io.BytesIO(payload))``;
-    unavailable in this container. The fake keeps the contract (H×W×3
-    uint8) so downstream resize/feature code is exercised for real."""
+
+def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Image decode: real PIL when available, deterministic fake otherwise.
+
+    With PIL installed, ``payload`` is decoded as a real image (any format
+    PIL reads) and converted to H×W×3 uint8. Without it — this container —
+    a deterministic fake derives pixels from the payload bytes, keeping the
+    same contract so downstream resize/feature code is exercised for real.
+    """
+    if _PIL_Image is not None:
+        import io
+
+        try:
+            img = _PIL_Image.open(io.BytesIO(payload)).convert("RGB")
+            return np.asarray(img, np.uint8)
+        except Exception:
+            pass  # undecodable bytes (e.g. the synthetic corpus) -> fake path
     if width <= 0 or height <= 0:
         raise NotImplementedError("real decode requires PIL; stub needs dims")
     raw = np.frombuffer(payload, np.uint8)
@@ -99,7 +115,11 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     kernel is pure numpy over each Arrow batch; at scale this stage is
     CPU-bound and embarrassingly parallel, so partition sizing (payload
     bytes per task, ``spark.sql.files.maxPartitionBytes``) is the only
-    tuning knob."""
+    tuning knob.
+
+    Means are computed as exact integer sums divided in float64 (dyadic
+    for power-of-two stripe widths), so any engine — including the DuckDB
+    driver oracle — reproduces the values bit-exactly."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -108,11 +128,16 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                 b = np.frombuffer(payload, np.uint8) if payload is not None else np.empty(0, np.uint8)
                 nbytes.append(b.size)
                 if b.size == 0:
-                    feats.append(np.zeros(dim, np.float32))
+                    feats.append(np.zeros(dim, np.float64))
                     oks.append(False)
                     continue
-                stripes = np.array_split(b.astype(np.float32), dim)
-                feats.append(np.array([s.mean() if s.size else 0.0 for s in stripes], np.float32))
+                stripes = np.array_split(b.astype(np.int64), dim)
+                feats.append(
+                    np.array(
+                        [s.sum() / float(s.size) if s.size else 0.0 for s in stripes],
+                        np.float64,
+                    )
+                )
                 oks.append(True)
             yield pd.DataFrame(
                 {
@@ -182,10 +207,14 @@ def sample_frames(media: DataFrame, every_ms: int = 500, dim: int = 4) -> DataFr
                     idxs.append(k)
                     mss.append(ms)
                     # stub frame feature: windowed byte means keyed by ms
+                    # (exact int sums / float64 division — oracle-portable)
                     off = (ms * 37) % max(b.size - 64, 1)
-                    win = b[off : off + 64].astype(np.float32)
+                    win = b[off : off + 64].astype(np.int64)
                     feats.append(
-                        np.array([s.mean() for s in np.array_split(win, dim)], np.float32)
+                        np.array(
+                            [s.sum() / float(s.size) for s in np.array_split(win, dim)],
+                            np.float64,
+                        )
                     )
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "frame_ms": mss, "frame_feat": feats}

@@ -180,11 +180,22 @@ def score_keyword(index: Index, keyword: str) -> DataFrame | None:
     return grouped.select("doc_id", score.alias("score"))
 
 
+def host_of(url: Column) -> Column:
+    """Host of a URL, matching the reference's util.UrlToHost
+    (util.go:34-44): authority between ``scheme://`` and the first ``/``,
+    with everything after the LAST ``:`` (the port) stripped. Deliberate
+    divergence (documented, SURVEY §7.4.4): a bare scheme-less value is
+    treated as a host (Go's url.Parse gives Host="" there, which would
+    make ``site:`` match nothing on non-URL corpus ids)."""
+    host = F.regexp_extract(url, r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/]*)", 1)
+    return F.regexp_replace(host, r":[^:]*$", "")
+
+
 def _site_filter(index: Index, result: DataFrame, site: str) -> DataFrame:
-    """Keep docs whose host (documents.url host) ends with ``site``
-    (search.go:240-246). The doc side of the semi join is the top candidates
+    """Keep docs whose parsed host ends with ``site`` (search.go:240-246 +
+    util.UrlToHost). The doc side of the semi join is the top candidates
     only, so Catalyst broadcasts it."""
-    hosts = index.documents.select("doc_id", F.col("url").alias("_host"))
+    hosts = index.documents.select("doc_id", host_of(F.col("url")).alias("_host"))
     return (
         result.join(hosts, "doc_id", "inner")
         .filter(F.col("_host").endswith(site))

@@ -520,7 +520,10 @@ class DiskIndex:
     meta: IndexMeta
 
     def __post_init__(self) -> None:
-        self._documents = self.spark.read.parquet(os.path.join(self.index_dir, "documents"))
+        docs = self.spark.read.parquet(os.path.join(self.index_dir, "documents"))
+        if "gen" in docs.columns:  # streaming doc store: generation-keyed dirs
+            docs = docs.drop("gen")
+        self._documents = docs
         self._lexicon = self.spark.read.parquet(os.path.join(self.index_dir, "lexicon"))
         self._segments = self.spark.read.option(
             "basePath", os.path.join(self.index_dir, "segments")

@@ -244,10 +244,14 @@ def search_segments(
         # scan prunes to the site's files.
         allowed = di.site_cache.get(pq.site)
         if allowed is None:
+            from .search import host_of
+
             allowed = np.array(
                 [
                     r["doc_id"]
-                    for r in di.documents.filter(F.col("url").endswith(pq.site))
+                    for r in di.documents.filter(
+                        host_of(F.col("url")).endswith(pq.site)
+                    )
                     .select("doc_id")
                     .collect()
                 ],

@@ -128,8 +128,13 @@ def search_sql(query: str, per_shard: int = 50) -> str:
         ctes += ectes
         conds.append(f"doc_id NOT IN (SELECT doc_id FROM {ename})")
     if pq.site:
+        # host(url) suffix match, mirroring operators/search.host_of
+        host = (
+            "regexp_replace(regexp_extract(source, "
+            "'^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/]*)', 1), ':[^:]*$', '')"
+        )
         conds.append(
-            f"doc_id IN (SELECT doc_id FROM documents WHERE source LIKE '%{pq.site}')"
+            f"doc_id IN (SELECT doc_id FROM documents WHERE {host} LIKE '%{pq.site}')"
         )
     where = (" WHERE " + " AND ".join(conds)) if conds else ""
     ctes.append(
@@ -152,6 +157,111 @@ def search_enriched_sql(query: str, k: int = 10) -> str:
         f"SELECT r.doc_id, d.source AS url, r.score, r.rank\n"
         f"FROM r JOIN documents d USING (doc_id) WHERE r.rank <= {k}"
     )
+
+
+def search_highlight_sql(query: str, k: int = 10) -> str:
+    """Top-k search + H1-H3 abstract oracle → (doc_id, score, rank, url,
+    abstract).
+
+    Reproduces the engine's highlight semantics (operators/highlight.py,
+    reference search.go:342-403,108-141) in SQL:
+
+    - H1 interval merge: positions of the FIRST keyword's bigram tokens in
+      the body, grouped while the consecutive delta ≤ 2 (lag + running
+      sum); interval = [first, last+1].
+    - H2 window select: the longest interval (first on ties) if its length
+      ≤ 100, else ALL intervals (the reference's actual ``> 100`` loop).
+    - H3 abstract: Go-truncated-division padding, start clamp, the
+      reference's already-clamped end-branch; span injection via ordered
+      string_agg with lag-derived gap text; no-highlight fallback =
+      first 100 chars.
+
+    Not modeled: a single merged interval longer than 100 chars with
+    negative padding (reference-bug territory — Go would slice negative
+    indices); no testdata doc triggers it.
+    """
+    from ..operators.search import parse_query
+
+    pq = parse_query(query)
+    terms, _ = _qtokens(pq.keywords[0]) if pq.keywords else ([], [])
+    inner = search_sql(query)
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    pre = "<span style=''color:red''>"
+    suf = "</span>"
+    return f"""
+WITH {POS_CTE},
+r AS ({inner}),
+top AS (SELECT doc_id, score, rank FROM r WHERE rank <= {k}),
+hp AS (
+  SELECT pos.doc_id, pos.p FROM pos JOIN top USING (doc_id)
+  WHERE pos.term IN ({inlist})
+),
+o AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 2
+              THEN 0 ELSE 1 END AS brk
+  FROM hp
+),
+grp AS (
+  SELECT doc_id, p,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS UNBOUNDED PRECEDING) AS gid
+  FROM o
+),
+iv AS (SELECT doc_id, gid, MIN(p) AS h0, MAX(p) + 1 AS h1 FROM grp GROUP BY 1, 2),
+iv2 AS (
+  SELECT doc_id, h0, h1, h1 - h0 + 1 AS ln,
+         MAX(h1 - h0 + 1) OVER (PARTITION BY doc_id) AS mx
+  FROM iv
+),
+iv3 AS (
+  SELECT *, MIN(CASE WHEN ln = mx THEN h0 END) OVER (PARTITION BY doc_id) AS mh0
+  FROM iv2
+),
+sel AS (SELECT doc_id, h0, h1 FROM iv3 WHERE mx > 100 OR (ln = mx AND h0 = mh0)),
+wb AS (SELECT doc_id, MIN(h0) AS s0, MAX(h1) AS e0 FROM sel GROUP BY 1),
+pb AS (
+  SELECT w.doc_id, s0, e0, length(d.text) AS blen,
+         CASE WHEN 100 - (e0 - s0 + 1) >= 0 THEN (100 - (e0 - s0 + 1)) // 2
+              ELSE -((-(100 - (e0 - s0 + 1))) // 2) END AS pad
+  FROM wb w JOIN documents d USING (doc_id)
+),
+ab AS (
+  SELECT doc_id, blen, pad, e0, GREATEST(s0 - pad, 0) AS ns FROM pb
+),
+ab2 AS (
+  SELECT doc_id, ns,
+         CASE WHEN ns - pad >= 0 THEN LEAST(blen, e0 + pad)
+              ELSE LEAST(blen, e0 + pad - ns) END AS ne
+  FROM ab
+),
+pieces AS (
+  SELECT s.doc_id, s.h0, s.h1, a.ns, a.ne, d.text,
+         COALESCE(lag(s.h1) OVER (PARTITION BY s.doc_id ORDER BY s.h0) + 1,
+                  a.ns) AS pe
+  FROM sel s JOIN ab2 a USING (doc_id) JOIN documents d USING (doc_id)
+),
+frag AS (
+  SELECT doc_id,
+         string_agg(
+           substring(text, pe + 1, h0 - pe) || '{pre}' ||
+           substring(text, h0 + 1, h1 - h0 + 1) || '{suf}',
+           '' ORDER BY h0) AS hl,
+         MAX(h1) AS lh1, MAX(ne) AS ne, MAX(text) AS text
+  FROM pieces GROUP BY doc_id
+),
+abst AS (
+  SELECT doc_id,
+         hl || (CASE WHEN lh1 + 1 < ne
+                     THEN substring(text, lh1 + 2, ne - lh1 - 1)
+                     ELSE '' END) AS abstract
+  FROM frag
+)
+SELECT t.doc_id::BIGINT AS doc_id, t.score, t.rank, d.source AS url,
+       COALESCE(a.abstract, substring(d.text, 1, 100)) AS abstract
+FROM top t JOIN documents d USING (doc_id)
+LEFT JOIN abst a USING (doc_id)
+""".strip()
 
 
 def lexicon_sql() -> str:
@@ -193,13 +303,23 @@ def dedup_exact_sql() -> str:
     )
 
 
-def dedup_jaccard_sql(threshold: float = 0.6) -> str:
+def dedup_jaccard_sql(threshold: float = 0.6, max_shingle_df: int | None = None) -> str:
+    if max_shingle_df is None:
+        from ..operators.dedup import DEFAULT_MAX_SHINGLE_DF
+
+        max_shingle_df = DEFAULT_MAX_SHINGLE_DF
     return f"""
 WITH {SHINGLE_CTES},
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+sh_k AS (
+  SELECT s.* FROM sh s
+  WHERE s.shingle NOT IN (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {max_shingle_df}
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh_k GROUP BY 1),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh_k a JOIN sh_k b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
@@ -212,16 +332,24 @@ WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
 
 
 def dedup_minhash_sql(num_hashes: int = 16, band_size: int = 4) -> str:
+    # Same seeded-hash family as operators/dedup.py: one md5 per shingle
+    # split into two 28-bit ints, hash_s = (a + s*b) mod (2^31 - 1).
     return f"""
 WITH {SHINGLE_CTES},
+ab AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(shingle), 1, 7))::BIGINT AS a,
+         ('0x' || substring(md5(shingle), 8, 7))::BIGINT AS b
+  FROM sh
+),
 mh AS (
-  SELECT doc_id, s, MIN(md5(s::VARCHAR || ':' || shingle)) AS h
-  FROM sh CROSS JOIN (SELECT unnest(range(0, {num_hashes})) AS s) seeds
+  SELECT doc_id, s, MIN((a + s * b) % 2147483647) AS h
+  FROM ab CROSS JOIN (SELECT unnest(range(0, {num_hashes})) AS s) seeds
   GROUP BY 1, 2
 ),
 bands AS (
   SELECT doc_id, (s // {band_size})::INT AS band,
-         md5(string_agg(h, ',' ORDER BY s)) AS bh
+         md5(string_agg(h::VARCHAR, ',' ORDER BY s)) AS bh
   FROM mh GROUP BY doc_id, (s // {band_size})::INT
 )
 SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b, COUNT(*)::BIGINT AS n_bands
@@ -363,6 +491,91 @@ SELECT d.doc_id::BIGINT AS doc_id,
        COALESCE(MIN(md5(sh.shingle)), md5(d.text)) AS fingerprint
 FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id
 GROUP BY d.doc_id, d.text
+""".strip()
+
+
+# Byte table of the synthetic media corpus (multimodal.synthesize_media):
+# payload byte j of media i = byte (j % 32) of sha256("{seed}:{i}:{j//32}").
+# DuckDB's sha256() returns the same hex as hashlib, so the bytes — and
+# every feature derived from them — are reproducible engine-side.
+def _media_bytes_ctes(n_media: int, seed: int, payload_bytes: int) -> str:
+    n_chunks = -(-payload_bytes // 32)
+    return f"""
+ids AS (SELECT unnest(range(0, {n_media}))::BIGINT AS media_id),
+hx AS (
+  SELECT media_id, c, sha256('{seed}:' || media_id::VARCHAR || ':' || c::VARCHAR) AS h
+  FROM ids, LATERAL (SELECT unnest(range(0, {n_chunks})) AS c) cc
+),
+bytes AS (
+  SELECT media_id, c * 32 + k AS j,
+         ('0x' || substring(h, k * 2 + 1, 2))::BIGINT AS v
+  FROM hx, LATERAL (SELECT unnest(range(0, 32)) AS k) kk
+  WHERE c * 32 + k < {payload_bytes}
+)
+""".strip()
+
+
+def media_features_sql(
+    n_media: int = 64, seed: int = 42, payload_bytes: int = 4096, dim: int = 8
+) -> str:
+    """Oracle for multimodal.extract_features over synthesize_media:
+    per-stripe byte means (exact integer sums / float64), stripes =
+    np.array_split(payload, dim) — payload_bytes divisible by dim here."""
+    w = payload_bytes // dim
+    fcols = ",\n       ".join(
+        f"ROUND(MAX(CASE WHEN s = {i} THEN mean END), 6) AS f{i}" for i in range(dim)
+    )
+    return f"""
+WITH {_media_bytes_ctes(n_media, seed, payload_bytes)},
+stripes AS (
+  SELECT media_id, j // {w} AS s, SUM(v)::DOUBLE / {w}.0 AS mean
+  FROM bytes GROUP BY 1, 2
+)
+SELECT media_id,
+       {fcols},
+       {payload_bytes}::BIGINT AS n_bytes, TRUE AS ok
+FROM stripes GROUP BY media_id
+""".strip()
+
+
+def media_frames_sql(
+    n_media: int = 64,
+    seed: int = 42,
+    payload_bytes: int = 4096,
+    every_ms: int = 500,
+    dim: int = 4,
+) -> str:
+    """Oracle for multimodal.sample_frames: video rows (media_id % 3 == 2,
+    duration 1000 + 250*media_id), one frame per every_ms, feature = means
+    of the dim splits of the 64-byte window at (ms*37) % (payload-64)."""
+    mod = max(payload_bytes - 64, 1)
+    w = 64 // dim
+    fcols = ",\n       ".join(
+        f"ROUND(MAX(CASE WHEN s = {i} THEN mean END), 6) AS f{i}" for i in range(dim)
+    )
+    return f"""
+WITH {_media_bytes_ctes(n_media, seed, payload_bytes)},
+vids AS (
+  SELECT media_id, (1000 + media_id * 250)::BIGINT AS dur
+  FROM ids WHERE media_id % 3 = 2
+),
+fr AS (
+  SELECT media_id, (ms // {every_ms})::BIGINT AS frame_idx, ms::BIGINT AS frame_ms,
+         (ms * 37) % {mod} AS off
+  FROM vids, LATERAL (SELECT unnest(range(0, dur, {every_ms})) AS ms) mm
+),
+win AS (
+  SELECT f.media_id, f.frame_idx, f.frame_ms, (b.j - f.off) // {w} AS s, b.v
+  FROM fr f JOIN bytes b
+    ON b.media_id = f.media_id AND b.j >= f.off AND b.j < f.off + 64
+),
+m AS (
+  SELECT media_id, frame_idx, frame_ms, s, SUM(v)::DOUBLE / {w}.0 AS mean
+  FROM win GROUP BY 1, 2, 3, 4
+)
+SELECT media_id, frame_idx, frame_ms,
+       {fcols}
+FROM m GROUP BY 1, 2, 3
 """.strip()
 
 

@@ -116,7 +116,12 @@ def ingest_batch(
     gen_dir = os.path.join(index_dir, "segments", f"gen={batch_id}")
     seg.write.mode("overwrite").parquet(gen_dir)  # replay-idempotent
     encoded.unpersist()
-    batch_df.write.mode("append").parquet(os.path.join(index_dir, "documents"))
+    # doc store is generation-keyed like the segments: a replayed batch
+    # OVERWRITES its own generation instead of appending duplicate rows
+    # (exactly-once for the doc store too; readers drop the gen column)
+    batch_df.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "documents", f"gen={batch_id}")
+    )
     stats = spark.read.parquet(gen_dir).agg(
         F.count("*").alias("n_terms"), F.sum("df").alias("n_postings")
     ).collect()[0]

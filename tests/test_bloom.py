@@ -82,3 +82,22 @@ def test_jaccard_max_shingle_df(spark):
     got = {(r.doc_a, r.doc_b) for r in capped.collect()}
     assert (1, 2) in got          # real near-dups survive
     assert (1, 3) not in got and (2, 3) not in got  # boilerplate-only overlap gone
+
+
+def test_absint_minint64_parity_with_vector_path():
+    """Go's AbsInt(MinInt64) == MinInt64 (wrapping negation); the scalar
+    helper must agree with hash_batch's np.int64 negation + floor-mod."""
+    import numpy as np
+
+    from search_engine_spark.functions.bloom import _abs_int64
+
+    h = -(1 << 63)
+    assert _abs_int64(h) == h
+    sh = np.int64(h)
+    with np.errstate(over="ignore"):
+        vec = np.where(sh < 0, -sh, sh)  # wraps back to MinInt64
+    n_bits = 4096
+    assert int(vec % n_bits) == _abs_int64(h) % n_bits
+    # ordinary negatives still abs() identically
+    for v in (-5, -(1 << 62), 7, 0):
+        assert _abs_int64(v) == abs(v)

@@ -163,3 +163,28 @@ def test_encode_bucket_packed_matches_reference():
         for i in range(len(eb1.term_ids)):
             assert eb1.blobs[i] == eb2.blobs[i]
             assert list(eb1.block_offsets[i]) == list(eb2.block_offsets[i])
+
+
+def test_pack_position_deltas_trailing_empty_docs():
+    """Zero-position docs must pack to length 0 anywhere in the array —
+    including at the TAIL (previously an out-of-bounds reduceat index)."""
+    import numpy as np
+
+    from search_engine_spark.functions import codec
+
+    # docs: [3 pos][0 pos][2 pos][0 pos][0 pos]  (trailing empties)
+    counts = np.array([3, 0, 2, 0, 0], np.int64)
+    te = np.array([1, 0, 0, 0, 0], np.int64)
+    flat = np.array([4, 9, 15, 100, 103], np.int64)
+    starts = np.zeros(counts.size, np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    buf, blen = codec.pack_position_deltas(flat, starts, te, counts)
+    assert list(blen[counts == 0]) == [0, 0, 0]
+    # non-empty docs' slices decode back to their original positions
+    off = np.zeros(counts.size + 1, np.int64)
+    np.cumsum(blen, out=off[1:])
+    d0 = codec.varint_decode(buf[off[0] : off[1]]).astype(np.int64)
+    # doc0: title field [4] (absolute), body field [9 (absolute reset), 15-9]
+    assert list(d0) == [4, 9, 6]
+    d2 = codec.varint_decode(buf[off[2] : off[3]]).astype(np.int64)
+    assert list(d2) == [100, 3]

@@ -102,6 +102,9 @@ def test_replayed_batch_is_idempotent(spark, built, sf_dir):
     ingest_batch(docs, 0, replay_dir, n_buckets=8, n_salts=2)  # replay
     di = load_index(spark, replay_dir)
     assert di.meta.n_docs == docs.count()  # manifest keyed by gen: no double count
+    # doc store is generation-keyed too: the replay overwrites its own
+    # gen dir instead of appending duplicate rows
+    assert di.documents.count() == docs.count()
     assert _results(spark, replay_dir, "table") == before
 
 
