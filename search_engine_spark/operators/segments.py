@@ -529,6 +529,7 @@ class DiskIndex:
             "basePath", os.path.join(self.index_dir, "segments")
         ).parquet(os.path.join(self.index_dir, "segments"))
         self.segment_cache = LruCache(100_000)
+        self.df_cache = LruCache(1_000_000)  # term_id -> df (metadata only)
         self.site_cache = LruCache(10_000)
         self.result_cache = LruCache(10_000)
         self._empty_result = None

@@ -141,6 +141,218 @@ def _rows_to_segment(tid: int, rs: list) -> TermSegment | None:
     )
 
 
+def _df_of_terms(di: DiskIndex, term_ids: list[int]) -> dict[int, int]:
+    """Per-term df via a bucket-pruned METADATA scan (df column only — the
+    parquet reader never touches the blob bytes), LRU-cached. Absent terms
+    cache as 0."""
+    if not term_ids:
+        return {}
+    from ..functions.xxhash import bucket_of_term
+
+    cache = di.df_cache
+    missing = [t for t in term_ids if t not in cache]
+    if missing:
+        buckets = sorted({bucket_of_term(t, di.meta.n_buckets) for t in missing})
+        rows = (
+            di.segments.filter(
+                F.col("bucket").isin(buckets) & F.col("term_id").isin(missing)
+            )
+            .groupBy("term_id")
+            .agg(F.sum("df").alias("df"))
+            .collect()
+        )
+        found = {r["term_id"]: int(r["df"]) for r in rows}
+        for t in missing:
+            cache.put(t, found.get(t, 0))
+    return {t: cache.get(t) or 0 for t in term_ids}
+
+
+def _decode_docids_df(seg_rows: DataFrame) -> DataFrame:
+    """Executor-side blob decode → (term_id, doc_id) rows (mapInArrow)."""
+    import pyarrow as pa
+
+    def kernel(batches):
+        for batch in batches:
+            tids = batch.column("term_id").to_numpy(zero_copy_only=False)
+            blobs = batch.column("blob")
+            out_t, out_d = [], []
+            for i in range(batch.num_rows):
+                doc_ids = codec.decode_term_postings(blobs[i].as_py())[0]
+                out_t.append(np.full(doc_ids.size, tids[i], np.int64))
+                out_d.append(doc_ids)
+            if out_t:
+                yield pa.record_batch(
+                    [
+                        pa.array(np.concatenate(out_t), pa.int64()),
+                        pa.array(np.concatenate(out_d), pa.int64()),
+                    ],
+                    names=["term_id", "doc_id"],
+                )
+
+    return seg_rows.select("term_id", "blob").mapInArrow(
+        kernel, "term_id long, doc_id long"
+    )
+
+
+def _decode_positions_for(seg_rows: DataFrame, doc_ids: np.ndarray) -> DataFrame:
+    """Executor-side decode of title_end+positions for a FIXED small doc
+    set (the ≤50 truncation winners, shipped in the task closure) —
+    (term_id, doc_id, title_end, positions)."""
+    import pyarrow as pa
+
+    cand = np.asarray(doc_ids, np.int64)
+
+    def kernel(batches):
+        for batch in batches:
+            tids = batch.column("term_id").to_numpy(zero_copy_only=False)
+            blobs = batch.column("blob")
+            ts, ds, tes, poss = [], [], [], []
+            for i in range(batch.num_rows):
+                docs, te, npos, flat = codec.decode_term_postings(blobs[i].as_py())
+                hit = np.isin(docs, cand, assume_unique=True)
+                if not hit.any():
+                    continue
+                starts = np.zeros(npos.size, np.int64)
+                np.cumsum(npos[:-1], out=starts[1:])
+                for j in np.flatnonzero(hit):
+                    ts.append(int(tids[i]))
+                    ds.append(int(docs[j]))
+                    tes.append(int(te[j]))
+                    poss.append(flat[starts[j] : starts[j] + npos[j]].tolist())
+            if ts:
+                yield pa.record_batch(
+                    [
+                        pa.array(ts, pa.int64()),
+                        pa.array(ds, pa.int64()),
+                        pa.array(tes, pa.int32()),
+                        pa.array(poss, pa.list_(pa.int64())),
+                    ],
+                    names=["term_id", "doc_id", "title_end", "positions"],
+                )
+
+    return seg_rows.select("term_id", "blob").mapInArrow(
+        kernel, "term_id long, doc_id long, title_end int, positions array<long>"
+    )
+
+
+def _search_segments_distributed(
+    di: DiskIndex, pq, dfs: dict[int, int], per_shard: int
+) -> DataFrame:
+    """Executor-side twin of the driver query path — identical semantics,
+    different physical plan:
+
+    - candidate sets per keyword: blob decode (mapInArrow) → groupBy
+      (doc_id) HAVING count = m — the shuffle is on doc_id, skew-free;
+    - AND / NOT folds: left_semi / left_anti joins;
+    - ``site:``: pruned semi join against the doc store's parsed host
+      (no driver-side doc-id collect);
+    - truncation: orderBy(doc_id).limit(50) — Catalyst plans TakeOrdered,
+      each partition contributes its 50 lowest, no global sort;
+    - scoring: only the ≤50 winners' positions are decoded (second pruned
+      pass) and collected; the TF-IDF + phrase/title math is the same
+      numpy code path as the driver route.
+
+    Driver memory is O(candidates + winners' positions), never O(df).
+    """
+    from ..functions.xxhash import bucket_of_term
+
+    empty = di.empty_result
+    kw_tokens = [tokenize_query(kw) for kw in pq.keywords]
+    ex_tokens = [tokenize_query(ex) for ex in pq.exclusions]
+    for qt in kw_tokens:
+        if not qt or any(dfs.get(t, 0) <= 0 for t, _ in qt):
+            return empty()  # unanswerable keyword => empty (search.go:190-211)
+    ex_tokens = [
+        qt for qt in ex_tokens if qt and all(dfs.get(t, 0) > 0 for t, _ in qt)
+    ]
+    need = sorted({t for qt in kw_tokens + ex_tokens for t, _ in qt})
+    buckets = sorted({bucket_of_term(t, di.meta.n_buckets) for t in need})
+    seg_rows = di.segments.filter(
+        F.col("bucket").isin(buckets) & F.col("term_id").isin(need)
+    )
+    posting_docs = _decode_docids_df(seg_rows)
+
+    def cand(qt) -> DataFrame:
+        tids = sorted({t for t, _ in qt})
+        return (
+            posting_docs.filter(F.col("term_id").isin(tids))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("_nt"))
+            .filter(F.col("_nt") == len(tids))
+            .select("doc_id")
+        )
+
+    base = cand(kw_tokens[0])
+    for qt in kw_tokens[1:]:
+        base = base.join(cand(qt), "doc_id", "left_semi")
+    for qt in ex_tokens:
+        base = base.join(cand(qt), "doc_id", "left_anti")
+    if pq.site:
+        from .search import host_of
+
+        allowed = di.documents.filter(
+            host_of(F.col("url")).endswith(pq.site)
+        ).select("doc_id")
+        base = base.join(allowed, "doc_id", "left_semi")
+
+    winners = base.orderBy("doc_id").limit(per_shard).collect()
+    docs = np.array(sorted(r["doc_id"] for r in winners), np.int64)
+    if docs.size == 0:
+        return empty()
+
+    k0 = kw_tokens[0]
+    k0_tids = sorted({t for t, _ in k0})
+    k0_buckets = sorted({bucket_of_term(t, di.meta.n_buckets) for t in k0_tids})
+    pos_rows = _decode_positions_for(
+        di.segments.filter(
+            F.col("bucket").isin(k0_buckets) & F.col("term_id").isin(k0_tids)
+        ),
+        docs,
+    ).collect()
+    pos_map: dict[tuple[int, int], tuple[int, np.ndarray]] = {
+        (r["term_id"], r["doc_id"]): (r["title_end"], np.array(r["positions"], np.int64))
+        for r in pos_rows
+    }
+
+    n_corpus = di.meta.n_docs
+    S = np.zeros(docs.size)
+    for tid in k0_tids:
+        tf = np.array(
+            [pos_map[(tid, int(d))][1].size for d in docs], np.float64
+        )
+        S += (1.0 + np.log(tf)) * math.log(n_corpus / dfs[tid])
+    cursors = [(tid, b) for tid, bases in k0 for b in bases]
+    scores = np.zeros(docs.size)
+    for i, d in enumerate(docs.tolist()):
+        for title in (True, False):
+            aligned = None
+            for tid, base_off in cursors:
+                te, pos = pos_map[(tid, d)]
+                fpos = (pos[:te] if title else pos[te:]) - base_off
+                aligned = fpos if aligned is None else np.intersect1d(aligned, fpos)
+                if aligned.size == 0:
+                    break
+            pc = aligned.size if aligned is not None else 0
+            part = S[i]
+            if pc > 0:
+                part *= 3.0 + math.log(pc)
+            if title:
+                part *= 3.0
+            scores[i] += part
+    order = np.lexsort((docs, -scores))
+    import pandas as pd
+
+    return di.spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": docs[order],
+                "score": scores[order],
+                "rank": np.arange(1, order.size + 1, dtype=np.int64),
+            }
+        )
+    )
+
+
 def _keyword_candidates(segs: dict[int, TermSegment], keyword: str) -> np.ndarray | None:
     """Conjunctive doc set for one keyword; None => keyword unanswerable."""
     qtokens = tokenize_query(keyword)
@@ -204,14 +416,30 @@ def _score_docs(
     return scores
 
 
+# Above this many total postings across the query's terms, the driver
+# path (collect whole term blobs) is replaced by the executor-side path:
+# candidates + truncation computed as a Spark plan, only the <=50 winners'
+# positions ever reach the driver. Keeps driver memory bounded for a term
+# with df ~ n_docs at 100 TB.
+MAX_DRIVER_POSTINGS = 2_000_000
+
+
 def search_segments(
-    di: DiskIndex, query: str, per_shard: int = PER_SHARD_LIMIT
+    di: DiskIndex,
+    query: str,
+    per_shard: int = PER_SHARD_LIMIT,
+    max_driver_postings: int = MAX_DRIVER_POSTINGS,
 ) -> DataFrame:
     """Reference-semantics search over the compressed disk index.
 
     Returns a DataFrame (doc_id, score, rank) ranked score desc /
     doc_id asc after the 50-lowest-docId truncation (engine.go:65 →
     web/service/search.go:192-203, intended AND semantics SURVEY §7.4.4).
+
+    Hot-term safety valve: when the query's terms sum to more than
+    ``max_driver_postings`` postings (df column, checked via a pruned
+    metadata scan), execution switches to ``_search_segments_distributed``
+    — same semantics, executor-side decode/intersection/truncation.
     """
     spark = di.spark
     empty = di.empty_result
@@ -222,7 +450,13 @@ def search_segments(
     need: set[int] = set()
     for kw in pq.keywords + pq.exclusions:
         need.update(t for t, _ in tokenize_query(kw))
-    segs = fetch_term_segments(di, sorted(need))
+    need_sorted = sorted(need)
+    # size check skipped when every term's blob is already LRU-resident
+    if not all(t in di.segment_cache for t in need_sorted):
+        dfs = _df_of_terms(di, need_sorted)
+        if sum(dfs.values()) > max_driver_postings:
+            return _search_segments_distributed(di, pq, dfs, per_shard)
+    segs = fetch_term_segments(di, need_sorted)
 
     base = _keyword_candidates(segs, pq.keywords[0])
     if base is None:

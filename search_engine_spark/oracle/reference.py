@@ -13,6 +13,14 @@ import re
 from dataclasses import dataclass
 
 
+def _url_host(u: str) -> str:
+    """Host for the site: filter, mirroring operators/search.host_of
+    (reference util.UrlToHost, util.go:34-44, with the documented
+    bare-value-is-a-host divergence)."""
+    m = re.match(r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/]*)", u)
+    return re.sub(r":[^:]*$", "", m.group(1) if m else "")
+
+
 def is_indexed_char(ch: str) -> bool:  # token.go:17-27
     cp = ord(ch)
     return (
@@ -110,7 +118,7 @@ class OracleIndex:
         cand = sorted(set.intersection(*doc_sets))
         out: dict[int, float] = {}
         for doc_id in cand:
-            if site and not self.urls[doc_id].endswith(site):
+            if site and not _url_host(self.urls[doc_id]).endswith(site):
                 continue
             posting_of = {t: self.postings[t][doc_id] for t, _ in qtokens}
             s = 0.0  # calcTfIdf, search.go:419-429

@@ -168,3 +168,32 @@ def test_search_segments_cached(spark, index_dir):
     assert a is b  # LRU returns the identical immutable DataFrame
     exp = [(r.doc_id, r.rank) for r in search_segments(di, "table").collect()]
     assert [(r.doc_id, r.rank) for r in a.collect()] == exp
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_distributed_path_rank_identical(spark, index_dir, query):
+    """Executor-side hot-term path == driver path for every query shape
+    (AND / NOT / site / single), forced via max_driver_postings=0."""
+    di = load_index(spark, index_dir)
+    ra = wand.search_segments(di, query).collect()
+    di2 = load_index(spark, index_dir)  # fresh handle: cold caches
+    rb = wand.search_segments(di2, query, max_driver_postings=0).collect()
+    assert _rounded_order(ra) == _rounded_order(rb)
+    sa = {r["doc_id"]: r["score"] for r in ra}
+    sb = {r["doc_id"]: r["score"] for r in rb}
+    for d in sa:
+        assert abs(sa[d] - sb[d]) < 1e-9
+
+
+def test_distributed_path_bounds_driver_collects(spark, index_dir, monkeypatch):
+    """The distributed path must never collect whole term blobs to the
+    driver — fetch_term_segments is off-limits, and only the ≤50-winner
+    rows (candidates + their positions) may come back."""
+    di = load_index(spark, index_dir)
+
+    def boom(*a, **k):  # any blob fetch = driver-memory O(df) = fail
+        raise AssertionError("distributed path collected term blobs")
+
+    monkeypatch.setattr(wand, "fetch_term_segments", boom)
+    rows = wand.search_segments(di, "table spark", max_driver_postings=0).collect()
+    assert 0 < len(rows) <= wand.PER_SHARD_LIMIT
