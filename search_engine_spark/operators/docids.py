@@ -31,13 +31,15 @@ def assign_doc_ids(
 
     ``scalable=True`` (default for >1 partition inputs) uses range
     partitioning + per-partition offsets instead of a global single-task
-    window. That plan runs THREE jobs over the input (range-sampling,
-    partition counts, final assignment), so the input is persisted
-    (memory-and-disk) for the duration — without it, an expensive upstream
-    (corpus parse) is recomputed per job and the whole stage stops scaling
-    (measured: 13.5 s → ~5 s at local[32] for an 80k-doc corpus). It also
-    pins the sampled range boundaries, making the count and assignment
-    jobs see identical partitioning by construction.
+    window. The input is persisted (memory-and-disk) so the range-sampling
+    pass doesn't recompute an expensive upstream (corpus parse), and the
+    sampled boundaries stay pinned (measured: 13.5 s → ~5 s at local[32]
+    for an 80k-doc corpus). The post-shuffle ranked intermediate is ALSO
+    persisted, so the input is touched by exactly TWO jobs — range
+    sampling and the shuffle/rank materialization (which the offsets
+    aggregate triggers); the final assignment join reads the persisted
+    intermediate instead of re-running the shuffle+window (was a third
+    full pass — the dominant fixed cost in the 2-vs-8-core scaling gap).
     """
     key_cols = key_cols or DOC_KEY
     if scalable is None:
@@ -58,6 +60,13 @@ def assign_doc_ids(
     with_pid = sorted_df.withColumn("_pid", F.spark_partition_id())
     w_local = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in key_cols])
     local = with_pid.withColumn("_local_rn", F.row_number().over(w_local).cast("long"))
+    if persist_input:
+        from pyspark import StorageLevel as _SL
+
+        # persist the RANKED intermediate: the offsets aggregate below
+        # materializes it, and the final assignment join then reads the
+        # cache instead of re-running shuffle+window (job 3 -> cache read)
+        local = local.persist(_SL.MEMORY_AND_DISK)
     # Tiny aggregate (one row per partition) → broadcast join back.
     counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

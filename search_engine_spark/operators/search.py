@@ -203,8 +203,17 @@ def _site_filter(index: Index, result: DataFrame, site: str) -> DataFrame:
     )
 
 
-def search(index: Index, query: str, limit: int | None = None) -> DataFrame:
+def search(
+    index: Index, query: str, limit: int | None = None, num_shards: int = 1
+) -> DataFrame:
     """Full query pipeline → (doc_id, score, rank), deterministically ranked.
+
+    ``num_shards`` emulates the reference's multi-index-server deployment
+    (SURVEY §7.4.5): docs route to shard ``doc_id % num_shards``, each
+    server truncates to ITS 50 lowest docIds (engine.go:64-65), the web
+    layer concatenates and rank-sorts the union
+    (web/service/search.go:147-151,192-203). num_shards=1 is the
+    single-logical-shard product default (deterministic superset).
 
     Empty result cases return an empty DataFrame with the same schema.
     """
@@ -236,9 +245,21 @@ def search(index: Index, query: str, limit: int | None = None) -> DataFrame:
         if cand is not None:
             base = base.join(cand, "doc_id", "left_anti")
 
-    # engine.go:65 — keep the 50 lowest docIds, THEN rank by score.
-    shard = base.orderBy("doc_id").limit(PER_SHARD_LIMIT)
+    # engine.go:65 — keep the 50 lowest docIds (per emulated shard), THEN
+    # rank by score.
     from pyspark.sql import Window
+
+    if num_shards <= 1:
+        shard = base.orderBy("doc_id").limit(PER_SHARD_LIMIT)
+    else:
+        ws = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(num_shards))).orderBy(
+            "doc_id"
+        )
+        shard = (
+            base.withColumn("_rn", F.row_number().over(ws))
+            .filter(F.col("_rn") <= PER_SHARD_LIMIT)
+            .drop("_rn")
+        )
 
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     ranked = shard.withColumn("rank", F.row_number().over(w).cast("long")).orderBy("rank")

@@ -355,11 +355,28 @@ def write_index(
     # requires clearing the directory (documented resume contract).
     docs_path = os.path.join(index_dir, "documents")
     if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
-        documents.write.mode("overwrite").parquet(docs_path)
-    _mark("documents write")
-    docs = spark.read.parquet(docs_path)
-    fp, n_docs = _fingerprint_and_count(docs)
-    _mark("fingerprint+count")
+        # fingerprint+count ride on the write job via observe() — one job
+        # instead of two (every job is fixed driver time in the serial
+        # fraction of the 2-vs-8-core scaling measurement)
+        from pyspark.sql import Observation
+
+        obs = Observation("fp")
+        documents.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.conv(F.substring("content_sha256", 1, 15), 16, 10).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("s"),
+        ).write.mode("overwrite").parquet(docs_path)
+        fp, n_docs = f"{obs.get['n']}:{obs.get['s']}", int(obs.get["n"])
+        docs = spark.read.parquet(docs_path)
+        _mark("documents write (+observed fingerprint)")
+    else:
+        docs = spark.read.parquet(docs_path)
+        fp, n_docs = _fingerprint_and_count(docs)
+        _mark("fingerprint+count (resume)")
     done = {
         s: m for s, m in read_manifest(index_dir).items()
         if m.get("status") == "complete" and m.get("fingerprint") == fp

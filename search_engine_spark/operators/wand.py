@@ -236,7 +236,7 @@ def _decode_positions_for(seg_rows: DataFrame, doc_ids: np.ndarray) -> DataFrame
 
 
 def _search_segments_distributed(
-    di: DiskIndex, pq, dfs: dict[int, int], per_shard: int
+    di: DiskIndex, pq, dfs: dict[int, int], per_shard: int, num_shards: int = 1
 ) -> DataFrame:
     """Executor-side twin of the driver query path — identical semantics,
     different physical plan:
@@ -295,7 +295,20 @@ def _search_segments_distributed(
         ).select("doc_id")
         base = base.join(allowed, "doc_id", "left_semi")
 
-    winners = base.orderBy("doc_id").limit(per_shard).collect()
+    if num_shards <= 1:
+        winners = base.orderBy("doc_id").limit(per_shard).collect()
+    else:
+        from pyspark.sql import Window
+
+        ws = Window.partitionBy(
+            F.pmod(F.col("doc_id"), F.lit(num_shards))
+        ).orderBy("doc_id")
+        winners = (
+            base.withColumn("_rn", F.row_number().over(ws))
+            .filter(F.col("_rn") <= per_shard)
+            .select("doc_id")
+            .collect()
+        )
     docs = np.array(sorted(r["doc_id"] for r in winners), np.int64)
     if docs.size == 0:
         return empty()
@@ -429,6 +442,7 @@ def search_segments(
     query: str,
     per_shard: int = PER_SHARD_LIMIT,
     max_driver_postings: int = MAX_DRIVER_POSTINGS,
+    num_shards: int = 1,
 ) -> DataFrame:
     """Reference-semantics search over the compressed disk index.
 
@@ -455,7 +469,7 @@ def search_segments(
     if not all(t in di.segment_cache for t in need_sorted):
         dfs = _df_of_terms(di, need_sorted)
         if sum(dfs.values()) > max_driver_postings:
-            return _search_segments_distributed(di, pq, dfs, per_shard)
+            return _search_segments_distributed(di, pq, dfs, per_shard, num_shards)
     segs = fetch_term_segments(di, need_sorted)
 
     base = _keyword_candidates(segs, pq.keywords[0])
@@ -493,7 +507,14 @@ def search_segments(
             )
             di.site_cache.put(pq.site, allowed)
         base = base[np.isin(base, allowed)]
-    base = base[:per_shard]  # candidates are docId-ascending already
+    if num_shards <= 1:
+        base = base[:per_shard]  # candidates are docId-ascending already
+    else:
+        # multi-index-server emulation (engine.go:64-65): each shard
+        # (doc_id % num_shards) keeps ITS 50 lowest docIds; fan-in is the
+        # concatenation (web/service/search.go:147-151)
+        parts = [base[base % num_shards == s][:per_shard] for s in range(num_shards)]
+        base = np.sort(np.concatenate(parts)) if parts else base
     if base.size == 0:
         return empty()
     scores = _score_docs(segs, pq.keywords[0], base, di.meta.n_docs)

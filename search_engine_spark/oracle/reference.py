@@ -219,9 +219,17 @@ class OracleIndex:
         title_out = inject(title, th) if th else title
         return title_out, abstract
 
-    def search(self, query: str, per_shard: int = 50) -> list[tuple[int, float]]:
+    def search(
+        self, query: str, per_shard: int = 50, num_shards: int = 1
+    ) -> list[tuple[int, float]]:
         """Full pipeline → [(doc_id, score)] ranked (engine.go:43-69 +
-        web/service/search.go:192-203, intended AND semantics)."""
+        web/service/search.go:192-203, intended AND semantics).
+
+        ``num_shards`` emulates the reference's multi-index-server
+        deployment: docs route to shard ``doc_id % num_shards``, EACH
+        server truncates to its 50 lowest docIds (engine.go:64-65), the
+        web layer concatenates and rank-sorts the union
+        (web/service/search.go:147-151,192-203)."""
         from ..operators.search import parse_query  # same parse, no Spark dep
 
         pq = parse_query(query)
@@ -238,6 +246,8 @@ class OracleIndex:
                 return []
             drop = set(self.search_docs(ex, pq.site))
             base = {d: sc for d, sc in base.items() if d not in drop}
-        shard = sorted(base)[:per_shard]  # engine.go:65 — 50 lowest docIds
+        shard: list[int] = []
+        for s in range(num_shards):  # engine.go:65 — 50 lowest docIds EACH
+            shard += sorted(d for d in base if d % num_shards == s)[:per_shard]
         ranked = sorted(((d, base[d]) for d in shard), key=lambda x: (-x[1], x[0]))
         return ranked

@@ -88,3 +88,49 @@ def test_sha256_invariant(spark, sf_dir):
     rows = docs.select("body", "content_sha256").limit(100).collect()
     for r in rows:
         assert hashlib.sha256(r.body.encode()).hexdigest() == r.content_sha256
+
+
+@pytest.mark.parametrize("num_shards", [2, 3, 7])
+def test_num_shards_truncation_emulation(built, num_shards):
+    """SURVEY §7.4.5: per-index-server 50-lowest-docId truncation
+    (engine.go:64-65) + web fan-in (search.go:147-151) — engine's
+    num_shards knob vs the oracle's sharded fold."""
+    idx, oracle = built
+    for query in ["the", "table scan", "spark"]:
+        got = [
+            (r.doc_id, r.score)
+            for r in search(idx, query, num_shards=num_shards).collect()
+        ]
+        exp = oracle.search(query, num_shards=num_shards)
+        assert_rank_identical(got, exp)
+    # sharded union is a superset of (or equal to) the single-shard set
+    one = {r.doc_id for r in search(idx, "the").collect()}
+    many = {r.doc_id for r in search(idx, "the", num_shards=num_shards).collect()}
+    assert one <= many
+
+
+def test_num_shards_segment_path(built, spark, tmp_path):
+    """Same emulation through the compressed-blob path (driver route) and
+    the executor-side route."""
+    from search_engine_spark.operators.postings import build_documents_from_testdata
+    from search_engine_spark.operators.segments import load_index, write_index
+    from search_engine_spark.operators import wand
+
+    idx, oracle = built
+    d = str(tmp_path / "idx")
+    docs = idx.documents.select("doc_id", "url", "title", "body", "content_sha256")
+    write_index(docs, d, n_buckets=8, n_shards=1, n_salts=2)
+    for query in ["the", "table scan"]:
+        exp = oracle.search(query, num_shards=3)
+        got_drv = [
+            (r.doc_id, r.score)
+            for r in wand.search_segments(load_index(spark, d), query, num_shards=3).collect()
+        ]
+        assert_rank_identical(got_drv, exp)
+        got_dist = [
+            (r.doc_id, r.score)
+            for r in wand.search_segments(
+                load_index(spark, d), query, max_driver_postings=0, num_shards=3
+            ).collect()
+        ]
+        assert_rank_identical(got_dist, exp)
