@@ -27,7 +27,7 @@ from search_engine_spark.operators.postings import (
 from search_engine_spark.operators.highlight import enrich_ranked, enrich_topk
 from search_engine_spark.operators.search import search
 from search_engine_spark.operators.segments import DiskIndex, load_index, write_index
-from search_engine_spark.operators.wand import search_segments
+from search_engine_spark.operators.wand import search_segments, topk_bm25_wand
 from search_engine_spark.functions.tokenizer import term_to_id
 from search_engine_spark.oracle import sqlgen
 
@@ -136,6 +136,28 @@ def _postings_term_q(term: str):
     return run
 
 
+def _bm25_topk_q(query: str, k: int = 10):
+    """Block-max-pruned BM25 top-k (north-rule scorer) — the pruned result
+    is exact, so it value-checks against the exhaustive SQL oracle."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import pandas as pd
+
+        di = _disk_index(spark, sf_dir)
+        rows = topk_bm25_wand(di, query, k)
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [d for d, _ in rows],
+                "score": [s for _, s in rows],
+            }
+        )
+        if not len(pdf):
+            return di.empty_result()
+        return _rounded_rank(spark.createDataFrame(pdf))
+
+    return run
+
+
 def _search_highlight_q(query: str, k: int = 10):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from search_engine_spark.functions.tokenizer import tokenize_query
@@ -196,6 +218,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seg_search_and": _seg_search_q("table spark"),
         "seg_search_not": _seg_search_q("table -dup"),
         "seg_search_site": _seg_search_q("table site:src3"),
+        # BM25 top-k through block-max pruning (north-rule scorer; the
+        # pruning is lossless so the exhaustive SQL oracle value-checks it)
+        "search_bm25_topk": _bm25_topk_q("table spark", k=10),
         # highlight/abstract enrichment (H1-H4) — full value oracle: the
         # interval-merge/window/abstract arithmetic is reproduced in DuckDB
         # SQL (sqlgen.search_highlight_sql); ranking feeds the kernel at
@@ -243,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         "seg_search_not": sqlgen.search_sql("table -dup"),
         "seg_search_site": sqlgen.search_sql("table site:src3"),
         "search_highlight": sqlgen.search_highlight_sql("table", 10),
+        "search_bm25_topk": sqlgen.bm25_topk_sql("table spark", 10),
         "dedup_exact": sqlgen.dedup_exact_sql(),
         "dedup_jaccard": sqlgen.dedup_jaccard_sql(),
         "dedup_minhash": sqlgen.dedup_minhash_sql(),

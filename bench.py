@@ -130,6 +130,9 @@ def main() -> None:
     ]:
         timed(qname, lambda q=q: search_segments(di, q).collect())
     timed("q_wand_topk", lambda: topk_wand(di, "customer query", 10))
+    from search_engine_spark.operators.wand import topk_bm25_wand
+
+    timed("q_bm25_topk", lambda: topk_bm25_wand(di, "customer query", 10))
     timed("q_df_single", lambda: search(index, "table").collect())
 
     # --- training-data ops ----------------------------------------------------

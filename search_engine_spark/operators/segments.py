@@ -278,6 +278,24 @@ class IndexMeta:
     n_buckets: int
     n_shards: int
     fingerprint: str
+    avgdl: float = 0.0  # mean token (bigram) count per doc — BM25 length norm
+
+
+def doc_length_expr(title_col: str = "title", body_col: str = "body") -> F.Column:
+    """Token (bigram) count of a document — pure column expression, exactly
+    the vectorized tokenizer's emission count: for each maximal
+    CJK/alnum run, max(len-1, 0) bigrams, summed over title + body.
+    Rides the doc-store write (no extra job, no Python)."""
+
+    def _runs(col: str) -> F.Column:
+        runs = F.expr(f"regexp_extract_all({col}, '[一-龥A-Za-z0-9]+', 0)")
+        return F.aggregate(
+            runs,
+            F.lit(0).cast("long"),
+            lambda acc, r: acc + F.greatest(F.length(r) - 1, F.lit(0)).cast("long"),
+        )
+
+    return (_runs(title_col) + _runs(body_col)).alias("dl")
 
 
 def corpus_fingerprint(documents: DataFrame) -> str:
@@ -361,7 +379,7 @@ def write_index(
         from pyspark.sql import Observation
 
         obs = Observation("fp")
-        documents.observe(
+        documents.withColumn("dl", doc_length_expr()).observe(
             obs,
             F.count(F.lit(1)).alias("n"),
             F.sum(
@@ -369,13 +387,19 @@ def write_index(
                     "decimal(38,0)"
                 )
             ).alias("s"),
+            F.sum("dl").alias("sdl"),  # BM25 avgdl, same job
         ).write.mode("overwrite").parquet(docs_path)
         fp, n_docs = f"{obs.get['n']}:{obs.get['s']}", int(obs.get["n"])
+        avgdl = float(obs.get["sdl"] or 0) / max(n_docs, 1)
         docs = spark.read.parquet(docs_path)
-        _mark("documents write (+observed fingerprint)")
+        _mark("documents write (+observed fingerprint/avgdl)")
     else:
         docs = spark.read.parquet(docs_path)
         fp, n_docs = _fingerprint_and_count(docs)
+        if "dl" in docs.columns:
+            avgdl = (docs.agg(F.sum("dl")).collect()[0][0] or 0) / max(n_docs, 1)
+        else:  # pre-dl index dir
+            avgdl = 0.0
         _mark("fingerprint+count (resume)")
     done = {
         s: m for s, m in read_manifest(index_dir).items()
@@ -475,10 +499,11 @@ def write_index(
         "n_buckets": n_buckets,
         "n_shards": n_shards,
         "fingerprint": fp,
+        "avgdl": avgdl,
     }
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
-    return IndexMeta(n_docs, n_buckets, n_shards, fp)
+    return IndexMeta(n_docs, n_buckets, n_shards, fp, avgdl)
 
 
 def empty_result_df(spark: SparkSession) -> DataFrame:
@@ -550,6 +575,37 @@ class DiskIndex:
         self.site_cache = LruCache(10_000)
         self.result_cache = LruCache(10_000)
         self._empty_result = None
+        self._dl = None
+
+    def doc_lengths(self):
+        """(doc_ids sorted asc, dl) int64 arrays — BM25 length norm.
+
+        Reads the ``dl`` column written by ``write_index`` (falls back to
+        computing the token-count expression for pre-dl index dirs). The
+        whole column is held driver-side (16 bytes/doc): fine to ~10^8
+        docs; at 10^12 the lengths stay a doc-partitioned sidecar and
+        BM25 scoring moves executor-side with the distributed query path.
+        """
+        if self._dl is None:
+            import numpy as _np
+
+            docs = self._documents
+            if "dl" in docs.columns:
+                sel = docs.select("doc_id", "dl")
+            else:
+                sel = docs.select("doc_id", doc_length_expr())
+            rows = sel.collect()
+            ids = _np.array([r["doc_id"] for r in rows], _np.int64)
+            dl = _np.array([r["dl"] for r in rows], _np.int64)
+            order = _np.argsort(ids)
+            self._dl = (ids[order], dl[order])
+        return self._dl
+
+    def avgdl(self) -> float:
+        if self.meta.avgdl > 0:
+            return self.meta.avgdl
+        ids, dl = self.doc_lengths()
+        return float(dl.mean()) if dl.size else 0.0
 
     def empty_result(self) -> DataFrame:
         """Shared empty (doc_id, score, rank).
@@ -577,5 +633,13 @@ def load_index(spark: SparkSession, index_dir: str) -> DiskIndex:
     with open(os.path.join(index_dir, "meta.json")) as f:
         m = json.load(f)
     return DiskIndex(
-        spark, index_dir, IndexMeta(m["n_docs"], m["n_buckets"], m["n_shards"], m["fingerprint"])
+        spark,
+        index_dir,
+        IndexMeta(
+            m["n_docs"],
+            m["n_buckets"],
+            m["n_shards"],
+            m["fingerprint"],
+            float(m.get("avgdl", 0.0)),
+        ),
     )

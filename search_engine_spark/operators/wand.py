@@ -628,6 +628,140 @@ def topk_wand(di: DiskIndex, query: str, k: int = 10) -> list[tuple[int, float]]
     return [(d, sc) for sc, d in top[:k]]
 
 
+# --------------------------------------------------------------------------
+# BM25 top-k (north-rule scoring; the reference itself only has TF-IDF —
+# this is the documented upgrade, selectable alongside the parity scorer)
+# --------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _bm25_idf(n_docs: int, df: int) -> float:
+    """Lucene-form BM25 idf: ln(1 + (N - df + 0.5)/(df + 0.5)) — always
+    positive, mirrored exactly in the SQL oracle."""
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def topk_bm25_exhaustive(di: DiskIndex, query: str, k: int = 10) -> list[tuple[int, float]]:
+    """Exhaustive disjunctive BM25 top-k: [(doc_id, score)].
+
+    score(d) = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    The expression tree matches the DuckDB oracle term-for-term so float64
+    results agree bit-for-bit."""
+    qtokens = tokenize_query(query)
+    segs = fetch_term_segments(di, sorted({t for t, _ in qtokens}))
+    if not segs:
+        return []
+    ids, dl = di.doc_lengths()
+    avgdl = di.avgdl()
+    n = di.meta.n_docs
+    acc: dict[int, float] = {}
+    for seg in segs.values():
+        doc_ids, _, npos, _ = seg.decode()
+        idf = _bm25_idf(n, seg.df)
+        d_idx = np.searchsorted(ids, doc_ids)
+        dld = dl[d_idx].astype(np.float64)
+        tf = npos.astype(np.float64)
+        contrib = idf * (
+            tf * (BM25_K1 + 1.0)
+            / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (dld / avgdl)))
+        )
+        for d, c in zip(doc_ids.tolist(), contrib.tolist()):
+            acc[d] = acc.get(d, 0.0) + c
+    return sorted(acc.items(), key=lambda x: (-x[1], x[0]))[:k]
+
+
+def topk_bm25_wand(di: DiskIndex, query: str, k: int = 10) -> list[tuple[int, float]]:
+    """Block-max pruned BM25 top-k — equals topk_bm25_exhaustive.
+
+    Per-block upper bound: BM25's tf term is increasing in tf and
+    decreasing in dl, so idf·(k1+1)·tf_max/(tf_max + k1·(1−b)) (i.e.
+    dl→0) bounds every doc in the block using only the block_max_tf
+    sidecar — no schema change. Records ``last_stats`` like topk_wand.
+    """
+    qtokens = tokenize_query(query)
+    segs = fetch_term_segments(di, sorted({t for t, _ in qtokens}))
+    if not segs:
+        topk_bm25_wand.last_stats = {"blocks_total": 0, "blocks_decoded": 0}
+        return []
+    term_list = list(segs.values())
+    n_corpus = di.meta.n_docs
+    ids, dl = di.doc_lengths()
+    avgdl = di.avgdl()
+    idfs = {s.term_id: _bm25_idf(n_corpus, s.df) for s in term_list}
+
+    def _ub(tf_max: np.ndarray, idf: float) -> np.ndarray:
+        tf = tf_max.astype(np.float64)
+        return idf * (tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * (1.0 - BM25_B)))
+
+    breakpoints = np.unique(np.concatenate([s.block_last for s in term_list]))
+    seg_hi = breakpoints
+    seg_lo = np.empty_like(seg_hi)
+    seg_lo[0] = 0
+    seg_lo[1:] = seg_hi[:-1] + 1
+
+    bounds = np.zeros(seg_hi.size)
+    blk_of = {}
+    for s in term_list:
+        bi = np.searchsorted(s.block_last, seg_lo, side="left")
+        in_range = bi < s.block_last.size
+        ub = np.zeros(seg_hi.size)
+        bi_c = np.clip(bi, 0, s.block_last.size - 1)
+        ub[in_range] = _ub(s.block_max_tf[bi_c[in_range]], idfs[s.term_id])
+        bounds += ub
+        blk_of[s.term_id] = np.where(in_range, bi_c, -1)
+
+    order = np.argsort(-bounds, kind="mergesort")
+    top: list[tuple[float, int]] = []
+    theta = -math.inf
+    decoded: dict[tuple[int, int], tuple] = {}
+    blocks_decoded = 0
+    blocks_total = int(sum(s.block_last.size for s in term_list))
+
+    for r in order:
+        if bounds[r] < theta and len(top) >= k:
+            break
+        lo, hi = int(seg_lo[r]), int(seg_hi[r])
+        doc_acc: dict[int, float] = {}
+        for s in term_list:
+            b = int(blk_of[s.term_id][r])
+            if b < 0:
+                continue
+            key = (s.term_id, b)
+            if key not in decoded:
+                decoded[key] = codec.slice_blocks(
+                    s.blob, s.block_offsets, int(s.df), b, b + 1
+                )
+                blocks_decoded += 1
+            doc_ids, _, npos, _ = decoded[key]
+            m = (doc_ids >= lo) & (doc_ids <= hi)
+            if not m.any():
+                continue
+            d_sel = doc_ids[m]
+            dld = dl[np.searchsorted(ids, d_sel)].astype(np.float64)
+            tf = npos[m].astype(np.float64)
+            contrib = idfs[s.term_id] * (
+                tf * (BM25_K1 + 1.0)
+                / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (dld / avgdl)))
+            )
+            for d, c in zip(d_sel.tolist(), contrib.tolist()):
+                doc_acc[d] = doc_acc.get(d, 0.0) + c
+        for d, sc in doc_acc.items():
+            top.append((sc, d))
+        if len(top) > k:
+            top.sort(key=lambda x: (-x[0], x[1]))
+            del top[k:]
+        if len(top) >= k:
+            theta = top[-1][0]
+    top.sort(key=lambda x: (-x[0], x[1]))
+    topk_bm25_wand.last_stats = {
+        "blocks_total": blocks_total,
+        "blocks_decoded": blocks_decoded,
+    }
+    return [(d, sc) for sc, d in top[:k]]
+
+
 def search_segments_cached(
     di: DiskIndex, query: str, per_shard: int = PER_SHARD_LIMIT
 ) -> DataFrame:

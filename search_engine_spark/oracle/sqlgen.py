@@ -264,6 +264,53 @@ LEFT JOIN abst a USING (doc_id)
 """.strip()
 
 
+def bm25_topk_sql(query: str, k: int = 10) -> str:
+    """Disjunctive BM25 top-k oracle → (doc_id, score, rank).
+
+    Mirrors operators/wand.topk_bm25_* term-for-term: Lucene-form idf
+    ln(1 + (N - df + 0.5)/(df + 0.5)); tf term tf·(k1+1)/(tf + k1·(1 − b
+    + b·dl/avgdl)) with k1=1.2, b=0.75 written as the same expression
+    tree (same IEEE evaluation order); dl = per-doc bigram count; avgdl
+    = Σdl / n_docs (zero-token docs count in the denominator).
+    """
+    from ..functions.tokenizer import bigram_split
+    from ..operators.search import parse_query as _pq
+
+    terms: list[str] = []
+    for kw in _pq(query).keywords:
+        for t, _ in bigram_split(kw):
+            if t not in terms:
+                terms.append(t)
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {POS_CTE},
+{NDOCS_CTE},
+dlt AS (SELECT doc_id, COUNT(*) AS dl FROM pos GROUP BY 1),
+ad AS (SELECT SUM(dl)::DOUBLE / MAX(nd.n_docs) AS avgdl FROM dlt CROSS JOIN nd),
+{STATS_CTE},
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM pos
+  WHERE term IN ({inlist}) GROUP BY 1, 2
+),
+sc AS (
+  SELECT t.doc_id,
+         SUM(
+           ln(1.0 + (nd.n_docs - s.df + 0.5) / (s.df + 0.5)) *
+           (t.tf * (1.2 + 1.0) /
+            (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * (d.dl / a.avgdl))))
+         ) AS score
+  FROM tf t
+  JOIN stats s USING (term)
+  JOIN dlt d USING (doc_id)
+  CROSS JOIN nd CROSS JOIN ad a
+  GROUP BY t.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, ROUND(score, 6) AS score,
+       ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id)::BIGINT AS rank
+FROM sc ORDER BY ROUND(score, 6) DESC, doc_id LIMIT {k}
+""".strip()
+
+
 def lexicon_sql() -> str:
     return """
 WITH runs AS (

@@ -197,3 +197,28 @@ def test_distributed_path_bounds_driver_collects(spark, index_dir, monkeypatch):
     monkeypatch.setattr(wand, "fetch_term_segments", boom)
     rows = wand.search_segments(di, "table spark", max_driver_postings=0).collect()
     assert 0 < len(rows) <= wand.PER_SHARD_LIMIT
+
+
+def test_bm25_wand_equals_exhaustive(spark, index_dir):
+    di = load_index(spark, index_dir)
+    for q, k in [("table", 10), ("spark", 25), ("dup", 5), ("customer query", 10)]:
+        a = wand.topk_bm25_wand(di, q, k)
+        b = wand.topk_bm25_exhaustive(di, q, k)
+        assert [(d, round(s, 9)) for d, s in a] == [(d, round(s, 9)) for d, s in b]
+
+
+def test_bm25_wand_prunes_blocks(spark, index_dir):
+    di = load_index(spark, index_dir)
+    wand.topk_bm25_wand(di, "table spark", 5)
+    st = wand.topk_bm25_wand.last_stats
+    assert st["blocks_total"] > 0 and st["blocks_decoded"] <= st["blocks_total"]
+
+
+def test_bm25_length_normalization_direction(spark, index_dir, docs):
+    """Same tf, longer doc => lower BM25 contribution (sanity on dl/avgdl
+    plumbing: the norm must actually vary per doc)."""
+    di = load_index(spark, index_dir)
+    ids, dl = di.doc_lengths()
+    assert ids.size == di.meta.n_docs
+    assert dl.min() >= 0 and dl.max() > dl.min()  # lengths vary
+    assert abs(di.avgdl() - dl.mean()) < 1e-9
