@@ -100,6 +100,20 @@ def _seg_search_q(query: str):
     return run
 
 
+def _dist_search_q(query: str):
+    """Same query FORCED through the executor-side hot-term plan
+    (max_driver_postings=0): mapInArrow blob decode, doc_id-grouped
+    intersection, join folds, TakeOrdered truncation — checked against
+    the SAME oracle SQL as the driver routes."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _rounded_rank(
+            search_segments(_disk_index(spark, sf_dir), query, max_driver_postings=0)
+        )
+
+    return run
+
+
 def _search_enriched_q(query: str, k: int = 10):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = _index(spark, sf_dir)
@@ -218,6 +232,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seg_search_and": _seg_search_q("table spark"),
         "seg_search_not": _seg_search_q("table -dup"),
         "seg_search_site": _seg_search_q("table site:src3"),
+        # executor-side hot-term plan, forced — same oracle as seg_search_*
+        "dist_search_and": _dist_search_q("table spark"),
+        "dist_search_site": _dist_search_q("table site:src3"),
         # BM25 top-k through block-max pruning (north-rule scorer; the
         # pruning is lossless so the exhaustive SQL oracle value-checks it)
         "search_bm25_topk": _bm25_topk_q("table spark", k=10),
@@ -269,6 +286,8 @@ def oracle_sql() -> dict[str, str]:
         "seg_search_site": sqlgen.search_sql("table site:src3"),
         "search_highlight": sqlgen.search_highlight_sql("table", 10),
         "search_bm25_topk": sqlgen.bm25_topk_sql("table spark", 10),
+        "dist_search_and": sqlgen.search_sql("table spark"),
+        "dist_search_site": sqlgen.search_sql("table site:src3"),
         "dedup_exact": sqlgen.dedup_exact_sql(),
         "dedup_jaccard": sqlgen.dedup_jaccard_sql(),
         "dedup_minhash": sqlgen.dedup_minhash_sql(),

@@ -283,19 +283,22 @@ class IndexMeta:
 
 def doc_length_expr(title_col: str = "title", body_col: str = "body") -> F.Column:
     """Token (bigram) count of a document — pure column expression, exactly
-    the vectorized tokenizer's emission count: for each maximal
-    CJK/alnum run, max(len-1, 0) bigrams, summed over title + body.
-    Rides the doc-store write (no extra job, no Python)."""
+    the vectorized tokenizer's emission count: for each maximal CJK/alnum
+    run of length L, L-1 bigrams, summed over title + body.
 
-    def _runs(col: str) -> F.Column:
-        runs = F.expr(f"regexp_extract_all({col}, '[一-龥A-Za-z0-9]+', 0)")
-        return F.aggregate(
-            runs,
-            F.lit(0).cast("long"),
-            lambda acc, r: acc + F.greatest(F.length(r) - 1, F.lit(0)).cast("long"),
-        )
+    Computed as len(text) - len(text with each run collapsed to one
+    char): ONE regexp_replace per field - the regexp_extract_all +
+    higher-order-aggregate form materialized an array per row and
+    added ~120 CPU-seconds to a 160k-doc build. Rides the
+    doc-store write (no extra job, no Python)."""
 
-    return (_runs(title_col) + _runs(body_col)).alias("dl")
+    def _count(col: str) -> F.Column:
+        c = F.col(col)
+        return (
+            F.length(c) - F.length(F.regexp_replace(c, "[\u4e00-\u9fa5A-Za-z0-9]+", "X"))
+        ).cast("long")
+
+    return (_count(title_col) + _count(body_col)).alias("dl")
 
 
 def corpus_fingerprint(documents: DataFrame) -> str:
@@ -364,6 +367,10 @@ def write_index(
             print(f"[write_index] {label}: {now - _t[0]:.1f}s", flush=True)
             _t[0] = now
 
+    def _phase(label: str) -> None:
+        # labels jobs in the Spark UI / event log (profiling self-ID)
+        spark.sparkContext.setJobDescription(f"write_index:{label}")
+
     # Write the doc store FIRST, then fingerprint from the written parquet:
     # fingerprinting the logical input would recompute the whole upstream
     # pipeline (corpus gen + parse + doc_id assignment — measured 22 s at
@@ -379,6 +386,17 @@ def write_index(
         from pyspark.sql import Observation
 
         obs = Observation("fp")
+        _phase("doc-store write")
+        # Even doc-store files sized to the CLUSTER: the postings map
+        # stage reads these files as its splits (parquet row-groups don't
+        # sub-split), so few/uneven files = few/straggler map tasks no
+        # matter how many cores exist (measured: a range-partitioned
+        # 8-file store gave a 7-task map with one 40 s straggler at 160k
+        # docs — the dominant term in the 2-vs-8-core scaling gap). The
+        # count scales with parallelism, not a constant: a fixed 256 made
+        # a local[2] build pay ~700 task overheads for nothing.
+        n_doc_files = max(4 * spark.sparkContext.defaultParallelism, 16)
+        documents = documents.repartition(n_doc_files)
         documents.withColumn("dl", doc_length_expr()).observe(
             obs,
             F.count(F.lit(1)).alias("n"),
@@ -423,16 +441,60 @@ def write_index(
     # in its own small task (70 s). AQE coalesces the excess on small
     # inputs, so over-partitioning is free.
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(max(int(prev_sp), 2 * n_buckets))
+    prev_coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_open = spark.conf.get("spark.sql.files.openCostInBytes")
+
+    # --- task granularity, adaptive to cluster size AND data size --------
+    # Both knobs below were measured to dominate 2-vs-8-core scaling when
+    # fixed: a 128 MB split target serializes the tokenize map into ~9
+    # tasks (one 35-40 s straggler each pass), while a constant 256-way
+    # everything makes a 2-core build pay ~700 task overheads. Targets:
+    # ~4 waves of map tasks per core, and encode partitions sized by
+    # positions volume (spill safety at scale) but floored by parallelism.
+    cores = spark.sparkContext.defaultParallelism
+    docs_bytes = 0
+    for root, _dirs, files in os.walk(docs_path):
+        docs_bytes += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    split_bytes = min(max(docs_bytes // max(4 * cores, 1), 4 << 20), 128 << 20)
+    # Upper bound: one (bucket, salt) group is the unsplittable encode
+    # unit, so partitions beyond n_buckets*n_salts cannot add parallelism.
+    n_enc = int(
+        min(
+            max(4 * cores, (docs_bytes * 2) >> 26),  # ~2x text bytes / 64 MB
+            max(n_buckets * n_salts, 4 * cores),
+        )
     )
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_enc))
+    # The encode shuffle is deliberately partitioned as computed above; AQE
+    # coalescing would fold it back to ~core-count partitions (measured: 9
+    # tasks from 256 configured at 160k docs, one 28 s straggler), which
+    # destroys scaling. Skew-join splitting stays on.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split_bytes))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(min(split_bytes, 1 << 20)))
     try:
         for shard in range(n_shards):
             if shard in done:
                 continue
             t0 = time.time()
+            _phase(f"shard {shard} encode")
             part = postings.filter(F.col("_bucket") % n_shards == shard).drop("_bucket")
             encoded = build_segments(part, n_buckets, n_salts, salt_threshold)
+            # Layout shuffle before the write: the encode runs WIDE
+            # (hundreds of partitions — see the conf block above), but a
+            # point-lookup query pays a parquet footer read per segment
+            # FILE (measured: 256 files pushed query p50 from 25 ms to
+            # 230 ms). Re-shuffle the (compact, already-compressed) blobs
+            # into a few files keyed by CONTIGUOUS bucket ranges, sorted
+            # by (bucket, term_id), so bucket-pruned fetches touch one
+            # file and row-group/page stats stay tight. At real scale this
+            # becomes a bucketed table (bucketBy) instead.
+            n_files = max(8, min(32, n_buckets))
+            fid = F.expr(f"int(bucket * {n_files} / {n_buckets})")
+            encoded = encoded.repartition(n_files, fid).sortWithinPartitions(
+                "bucket", "term_id"
+            )
             out = os.path.join(index_dir, "segments", f"shard={shard}")
             if merge_hot:
                 # persist between encode and merge: merge_salted's plan
@@ -484,6 +546,7 @@ def write_index(
         )
         from .postings import _term_str
 
+        _phase("lexicon")
         lex = (
             seg_all.groupBy("term_id", "bucket")
             .agg(F.sum("df").alias("df"), F.sum("ctf").alias("ctf"))
@@ -493,6 +556,11 @@ def write_index(
         _mark("lexicon write")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce
+        )
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_open)
 
     meta = {
         "n_docs": n_docs,

@@ -58,6 +58,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    evlog = os.environ.get("SPARK_EVENTLOG_DIR")
+    if evlog:  # stage/task-level profiling (tools/ event-log analysis)
+        os.makedirs(evlog, exist_ok=True)
+        b = b.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", evlog
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
