@@ -25,7 +25,7 @@ from search_engine_spark.operators.postings import (
     build_index,
 )
 from search_engine_spark.operators.highlight import enrich_ranked, enrich_topk
-from search_engine_spark.operators.search import search
+from search_engine_spark.operators.search import paginate, search
 from search_engine_spark.operators.segments import DiskIndex, load_index, write_index
 from search_engine_spark.operators.wand import search_segments, topk_bm25_wand
 from search_engine_spark.functions.tokenizer import term_to_id
@@ -226,6 +226,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_not": _search_q("table -dup"),
         "search_site": _search_q("table site:src3"),
         "search_rare": _search_q("dup"),
+        # P9 pagination: page 2 of the ranked result (rank 11..20)
+        "search_page2": lambda s, d: paginate(
+            _rounded_rank(search(_index(s, d), "table")), 2
+        ),
         "search_absent": _search_q("qqqq"),
         "search_enriched": _search_enriched_q("spark"),
         "seg_search_table": _seg_search_q("table"),
@@ -278,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
         "search_not": sqlgen.search_sql("table -dup"),
         "search_site": sqlgen.search_sql("table site:src3"),
         "search_rare": sqlgen.search_sql("dup"),
+        "search_page2": sqlgen.search_page_sql("table", 2),
         "search_absent": sqlgen.search_sql("qqqq"),
         "search_enriched": sqlgen.search_enriched_sql("spark"),
         "seg_search_table": sqlgen.search_sql("table"),

@@ -397,7 +397,7 @@ def write_index(
         # a local[2] build pay ~700 task overheads for nothing.
         n_doc_files = max(4 * spark.sparkContext.defaultParallelism, 16)
         documents = documents.repartition(n_doc_files)
-        documents.withColumn("dl", doc_length_expr()).observe(
+        writer = documents.withColumn("dl", doc_length_expr()).observe(
             obs,
             F.count(F.lit(1)).alias("n"),
             F.sum(
@@ -406,7 +406,13 @@ def write_index(
                 )
             ).alias("s"),
             F.sum("dl").alias("sdl"),  # BM25 avgdl, same job
-        ).write.mode("overwrite").parquet(docs_path)
+        )
+        # 8 MB parquet row groups: later map stages split files at
+        # row-group granularity, so split sizing stays data-adaptive even
+        # if the file count is wrong for a future cluster size
+        writer.write.mode("overwrite").option(
+            "parquet.block.size", str(8 * 1024 * 1024)
+        ).parquet(docs_path)
         fp, n_docs = f"{obs.get['n']}:{obs.get['s']}", int(obs.get["n"])
         avgdl = float(obs.get["sdl"] or 0) / max(n_docs, 1)
         docs = spark.read.parquet(docs_path)
@@ -472,7 +478,9 @@ def write_index(
     # destroys scaling. Skew-join splitting stays on.
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split_bytes))
-    spark.conf.set("spark.sql.files.openCostInBytes", str(min(split_bytes, 1 << 20)))
+    # low open-cost so many small files pack densely instead of inflating
+    # the split count on tiny corpora
+    spark.conf.set("spark.sql.files.openCostInBytes", str(256 << 10))
     try:
         for shard in range(n_shards):
             if shard in done:

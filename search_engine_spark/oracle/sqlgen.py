@@ -149,6 +149,17 @@ def search_sql(query: str, per_shard: int = 50) -> str:
     )
 
 
+def search_page_sql(query: str, pn: int, page_size: int = 10) -> str:
+    """P9 pagination oracle: page ``pn`` (1-based) of the ranked result."""
+    pn = max(1, min(10, pn))
+    lo, hi = (pn - 1) * page_size, pn * page_size
+    inner = search_sql(query)
+    return (
+        f"WITH r AS ({inner})\n"
+        f"SELECT doc_id, score, rank FROM r WHERE rank > {lo} AND rank <= {hi}"
+    )
+
+
 def search_enriched_sql(query: str, k: int = 10) -> str:
     """Top-k search joined to the document store → (doc_id, url, score, rank)."""
     inner = search_sql(query)
