@@ -222,3 +222,25 @@ def test_bm25_length_normalization_direction(spark, index_dir, docs):
     assert ids.size == di.meta.n_docs
     assert dl.min() >= 0 and dl.max() > dl.min()  # lengths vary
     assert abs(di.avgdl() - dl.mean()) < 1e-9
+
+
+def test_merge_hot_build_rank_identical(spark, docs, tmp_path):
+    """merge_hot=True (build-time compaction of salted sub-segments) must
+    produce identical search results to the read-merge default, with at
+    most one segment row per (term, shard)."""
+    d = str(tmp_path / "fused")
+    write_index(docs, d, n_buckets=8, n_shards=1, n_salts=4, salt_threshold=50,
+                merge_hot=True)
+    di = load_index(spark, d)
+    from pyspark.sql import functions as F
+    multi = (
+        di.segments.groupBy("term_id").count().filter(F.col("count") > 1).count()
+    )
+    assert multi == 0
+    d2 = str(tmp_path / "plain")
+    write_index(docs, d2, n_buckets=8, n_shards=1, n_salts=4, salt_threshold=50)
+    di2 = load_index(spark, d2)
+    for q in ["table", "table spark", "dup", "table -dup"]:
+        a = _rounded_order(wand.search_segments(di, q).collect())
+        b = _rounded_order(wand.search_segments(di2, q).collect())
+        assert a == b
