@@ -256,6 +256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_knn": lambda s, d: SIM.cosine_topk(_embeddings(s, d), query_vec_id=0),
         "embed_lsh_buckets": lambda s, d: SIM.lsh_buckets(_embeddings(s, d)),
         "embed_neardup": lambda s, d: SIM.embedding_neardup_pairs(_embeddings(s, d)),
+        # IVF coarse-quantizer path (the second scale path next to LSH)
+        "embed_ivf_assign": lambda s, d: SIM.ivf_assign(_embeddings(s, d)),
+        "embed_ivf_topk": lambda s, d: SIM.ivf_topk(_embeddings(s, d), query_vec_id=0),
         # --- text analysis ---------------------------------------------------
         "text_lang_id": lambda s, d: TS.lang_id(_documents(s, d)),
         "text_quality": lambda s, d: TS.quality_score(_documents(s, d)),
@@ -300,6 +303,8 @@ def oracle_sql() -> dict[str, str]:
         "embed_knn": sqlgen.embed_knn_sql(),
         "embed_lsh_buckets": sqlgen.embed_lsh_buckets_sql(),
         "embed_neardup": sqlgen.embed_neardup_sql(),
+        "embed_ivf_assign": sqlgen.embed_ivf_assign_sql(),
+        "embed_ivf_topk": sqlgen.embed_ivf_topk_sql(),
         "text_lang_id": sqlgen.lang_id_sql(),
         "text_quality": sqlgen.quality_sql(),
         "text_tokens": sqlgen.token_counts_sql(),

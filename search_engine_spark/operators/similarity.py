@@ -169,3 +169,109 @@ def lsh_topk(
         F.broadcast(cand_ids), F.col(id_col).cast("long") == F.col("_cid"), "left_semi"
     )
     return cosine_topk(cand, query_vec_id, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) coarse quantizer — the second scale path next to LSH
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic coarse centroids: the vectors with the ``n_centroids``
+    lowest ids (the standard sample-init of k-means, kept un-iterated so
+    any engine — including the SQL oracle — reproduces the quantizer
+    bit-for-bit; Lloyd refinement would demand cross-engine float-sum
+    order guarantees the oracle can't give)."""
+    rows = (
+        embeddings.filter(F.col(id_col) < n_centroids)
+        .orderBy(id_col)
+        .select(F.col(vec_col).alias("_c"))
+        .collect()
+    )
+    return [[float(x) for x in r["_c"]] for r in rows]
+
+
+def _sq_l2(vec: Column, centroid: list[float]) -> Column:
+    """Σ (vᵢ − cᵢ)² as the same left-assoc double fold as ``dot``."""
+    lit = F.array(*[F.lit(float(c)) for c in centroid])
+    d = F.zip_with(
+        vec, lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+    )
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF list assignment: (vec_id, centroid) — argmin squared L2 to the
+    coarse centroids, ties to the lowest centroid id.
+
+    Pure column expressions (one struct-min over n_centroids folds); at
+    scale the vector table is then written partitioned by ``centroid`` so
+    a probe reads only its lists (partition pruning), exactly like the
+    LSH layout."""
+    cents = ivf_centroids(embeddings, n_centroids, vec_col, id_col)
+    entries = F.array(
+        *[
+            F.struct(
+                _sq_l2(F.col(vec_col), c).alias("d"),
+                F.lit(i).cast("long").alias("cid"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    best = F.array_min(entries)  # struct ordering: (d, cid) — ties -> low cid
+    return embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        best["cid"].alias("centroid"),
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-pruned approximate top-k: cosine top-k among the vectors whose
+    IVF list is one of the ``n_probe`` centroids nearest the query.
+
+    The probe-list choice is the same argmin metric as the assignment, so
+    the scan prunes to n_probe/n_centroids of the table (with a
+    centroid-partitioned layout: partition pruning)."""
+    q_rows = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_q")
+    ).collect()
+    if not q_rows:
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id long, cos_sim double"
+        )
+    q = [float(x) for x in q_rows[0]["_q"]]
+    cents = ivf_centroids(embeddings, n_centroids, vec_col, id_col)
+    # same left-assoc fold as the engine expressions, driver-side
+    def sqd(c):
+        s = 0.0
+        for x, y in zip(q, c):
+            s += (x - y) * (x - y)
+        return s
+
+    probes = sorted(range(len(cents)), key=lambda i: (sqd(cents[i]), i))[:n_probe]
+    assign = ivf_assign(embeddings, n_centroids, vec_col, id_col)
+    cand_ids = assign.filter(F.col("centroid").isin(probes)).select(
+        F.col("vec_id").alias("_cid")
+    )
+    cand = embeddings.join(
+        F.broadcast(cand_ids), F.col(id_col).cast("long") == F.col("_cid"), "left_semi"
+    )
+    return cosine_topk(cand, query_vec_id, k, vec_col, id_col)

@@ -503,6 +503,70 @@ FROM z WHERE dot / sqrt(na * nb) >= {threshold}
 """.strip()
 
 
+def embed_ivf_assign_sql(n_centroids: int = 8) -> str:
+    """IVF list assignment oracle: centroid = argmin squared L2 to the
+    vectors with the ``n_centroids`` lowest vec_ids (ties -> lowest cid)."""
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {n_centroids}
+),
+flat AS (
+  SELECT e.vec_id, c.cid,
+         unnest(e.embedding) AS x, unnest(c.ce) AS y
+  FROM embeddings e CROSS JOIN cents c
+),
+d AS (
+  SELECT vec_id, cid,
+         SUM((x::DOUBLE - y::DOUBLE) * (x::DOUBLE - y::DOUBLE)) AS dist
+  FROM flat GROUP BY 1, 2
+),
+r AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d
+)
+SELECT vec_id::BIGINT AS vec_id, cid::BIGINT AS centroid FROM r WHERE rn = 1
+""".strip()
+
+
+def embed_ivf_topk_sql(
+    query_vec_id: int = 0, k: int = 10, n_centroids: int = 8, n_probe: int = 2
+) -> str:
+    """IVF-pruned cosine top-k oracle: candidates = vectors assigned to the
+    ``n_probe`` centroids nearest the query vector."""
+    assign = embed_ivf_assign_sql(n_centroids)
+    return f"""
+WITH a AS ({assign}),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_vec_id}),
+qd AS (
+  SELECT c.vec_id AS cid,
+         SUM((x::DOUBLE - y::DOUBLE) * (x::DOUBLE - y::DOUBLE)) AS dist
+  FROM (
+    SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
+    FROM embeddings e CROSS JOIN qv q WHERE e.vec_id < {n_centroids}
+  ) c GROUP BY 1
+),
+probes AS (SELECT cid FROM qd ORDER BY dist, cid LIMIT {n_probe}),
+cand AS (
+  SELECT a.vec_id FROM a
+  WHERE a.centroid IN (SELECT cid FROM probes) AND a.vec_id <> {query_vec_id}
+),
+flat AS (
+  SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
+  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qv q
+),
+z AS (
+  SELECT vec_id,
+         SUM(x::DOUBLE * y::DOUBLE) AS dot,
+         SUM(x::DOUBLE * x::DOUBLE) AS na,
+         SUM(y::DOUBLE * y::DOUBLE) AS nb
+  FROM flat GROUP BY 1
+)
+SELECT vec_id::BIGINT AS vec_id, ROUND(dot / sqrt(na * nb), 6) AS cos_sim
+FROM z ORDER BY dot / sqrt(na * nb) DESC, vec_id LIMIT {k}
+""".strip()
+
+
 def lang_id_sql() -> str:
     return r"""
 SELECT doc_id::BIGINT AS doc_id,
