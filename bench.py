@@ -133,6 +133,12 @@ def main() -> None:
     from search_engine_spark.operators.wand import topk_bm25_wand
 
     timed("q_bm25_topk", lambda: topk_bm25_wand(di, "customer query", 10))
+    # executor-side hot-term plan, forced — the latency an off-driver-budget
+    # query pays (everything stays in Spark; driver holds only winners)
+    timed(
+        "q_dist_and",
+        lambda: search_segments(di, "table spark", max_driver_postings=0).collect(),
+    )
     timed("q_df_single", lambda: search(index, "table").collect())
 
     # --- training-data ops ----------------------------------------------------
@@ -151,6 +157,27 @@ def main() -> None:
     timed("dedup_simhash", lambda: D.simhash(raw).collect())
     timed("embed_knn", lambda: SIM.cosine_topk(emb, query_vec_id=0).collect())
     timed("text_quality", lambda: TS.quality_score(raw).collect())
+
+    # --- streaming ingest throughput (informational, single rep: the
+    # foreachBatch generations path over the same corpus in 4 arrivals) ---
+    from search_engine_spark.operators.wand import search_segments as _ss
+    from search_engine_spark.streaming.ingest import (
+        start_incremental_index,
+        stream_documents,
+    )
+
+    sroot = tempfile.mkdtemp(prefix="bench_stream_")
+    arrivals = os.path.join(sroot, "arrivals")
+    docs.repartition(4).write.parquet(arrivals)
+    sdir = os.path.join(sroot, "idx")
+    t0 = time.time()
+    q = start_incremental_index(
+        stream_documents(spark, arrivals), sdir, n_buckets=16, n_salts=2
+    )
+    q.awaitTermination(600)
+    timings["streaming_index_build"] = round(time.time() - t0, 3)
+    _ss(load_index(spark, sdir), "table").collect()  # searchable check
+    shutil.rmtree(sroot, ignore_errors=True)
 
     shutil.rmtree(os.path.dirname(index_dir), ignore_errors=True)
     total = round(sum(timings.values()), 3)

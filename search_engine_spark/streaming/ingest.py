@@ -114,7 +114,13 @@ def ingest_batch(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     seg = merge_salted(encoded)
     gen_dir = os.path.join(index_dir, "segments", f"gen={batch_id}")
-    seg.write.mode("overwrite").parquet(gen_dir)  # replay-idempotent
+    from pyspark.sql import Observation
+
+    obs = Observation(f"seg_stats_{batch_id}")
+    # manifest stats ride the segment write (no separate re-read job)
+    seg.observe(
+        obs, F.count(F.lit(1)).alias("n_terms"), F.sum("df").alias("n_postings")
+    ).write.mode("overwrite").parquet(gen_dir)  # replay-idempotent
     encoded.unpersist()
     # doc store is generation-keyed like the segments: a replayed batch
     # OVERWRITES its own generation instead of appending duplicate rows
@@ -122,9 +128,7 @@ def ingest_batch(
     batch_df.write.mode("overwrite").parquet(
         os.path.join(index_dir, "documents", f"gen={batch_id}")
     )
-    stats = spark.read.parquet(gen_dir).agg(
-        F.count("*").alias("n_terms"), F.sum("df").alias("n_postings")
-    ).collect()[0]
+    stats = obs.get
     os.makedirs(index_dir, exist_ok=True)
     with open(_manifest_path(index_dir), "a") as f:
         f.write(
