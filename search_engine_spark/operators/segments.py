@@ -500,19 +500,23 @@ def write_index(
             # becomes a bucketed table (bucketBy) instead.
             n_files = max(8, min(32, n_buckets))
             fid = F.expr(f"int(bucket * {n_files} / {n_buckets})")
-            encoded = encoded.repartition(n_files, fid).sortWithinPartitions(
-                "bucket", "term_id"
-            )
+
+            def _layout(df: DataFrame) -> DataFrame:
+                return df.repartition(n_files, fid).sortWithinPartitions(
+                    "bucket", "term_id"
+                )
+
             out = os.path.join(index_dir, "segments", f"shard={shard}")
             if merge_hot:
                 # persist between encode and merge: merge_salted's plan
                 # refers to its input three times (multi-term detection
                 # aggregate + both join sides) — without the persist the
-                # encode kernel runs 3x.
+                # encode kernel runs 3x. Layout applies to the MERGED rows
+                # (the written form), not the pre-merge intermediate.
                 from pyspark import StorageLevel
 
                 encoded = encoded.persist(StorageLevel.MEMORY_AND_DISK)
-                merge_salted(encoded).write.mode("overwrite").parquet(out)
+                _layout(merge_salted(encoded)).write.mode("overwrite").parquet(out)
                 encoded.unpersist()
             else:
                 # Default: salted sub-segments stay on disk as-is
@@ -524,7 +528,7 @@ def write_index(
                 # term's parts at fetch (LRU-cached), so skipping the fuse
                 # trades a per-term constant at query time for a fully
                 # parallel build.
-                encoded.write.mode("overwrite").parquet(out)
+                _layout(encoded).write.mode("overwrite").parquet(out)
             _mark(f"shard {shard} segments write")
             entry = {
                 "shard": shard,
