@@ -150,15 +150,21 @@ def _postings_term_q(term: str):
     return run
 
 
-def _bm25_topk_q(query: str, k: int = 10):
+def _bm25_topk_q(query: str, k: int = 10, force_distributed: bool = False):
     """Block-max-pruned BM25 top-k (north-rule scorer) — the pruned result
-    is exact, so it value-checks against the exhaustive SQL oracle."""
+    is exact, so it value-checks against the exhaustive SQL oracle.
+    ``force_distributed`` drops the driver-postings valve to 0, forcing
+    the executor-side plan (decode→dl-sidecar-join→sum→TakeOrdered) —
+    checked against the SAME oracle SQL."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         di = _disk_index(spark, sf_dir)
-        rows = topk_bm25_wand(di, query, k)
+        if force_distributed:
+            rows = topk_bm25_wand(di, query, k, max_driver_postings=0)
+        else:
+            rows = topk_bm25_wand(di, query, k)
         pdf = pd.DataFrame(
             {
                 "doc_id": [d for d, _ in rows],
@@ -188,6 +194,18 @@ def _search_highlight_q(query: str, k: int = 10):
     return run
 
 
+def _ivf_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    cents = SIM.ivf_train_centroids(emb, n_centroids=8, n_iter=2)
+    return SIM.ivf_assign(emb, centroids=cents)
+
+
+def _ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    cents = SIM.ivf_train_centroids(emb, n_centroids=8, n_iter=2)
+    return SIM.ivf_topk(emb, query_vec_id=0, centroids=cents)
+
+
 def _media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media feature vectors with the array projected to scalar columns
     (f0..f7) so the driver canonicalizer can sort/hash the rows."""
@@ -198,6 +216,40 @@ def _media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         "ok",
     )
+
+
+def _media_thumbs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail block-mean pool with the 8x8 mean grid projected to
+    scalar columns m0..m63 (exact int-sum/float64 math, same keystream
+    oracle as the other media_* rows)."""
+    th = MM.thumbnail_stats(MM.synthesize_media(spark, 64), thumb=8)
+    return th.select(
+        "media_id",
+        "thumb_w",
+        "thumb_h",
+        *[F.round(F.col("thumb_mean")[i], 6).alias(f"m{i}") for i in range(64)],
+        "ok",
+    )
+
+
+def _seg_search_highlight_q(query: str, k: int = 10):
+    """The H1-H4 highlight pipeline served from the COMPRESSED disk index
+    (ranking via segment blobs, enrichment via the index's doc store) —
+    same SQL oracle as the logical-index search_highlight row."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from search_engine_spark.functions.tokenizer import tokenize_query
+        from search_engine_spark.operators.search import parse_query
+
+        di = _disk_index(spark, sf_dir)
+        ranked = _rounded_rank(search_segments(di, query)).filter(F.col("rank") <= k)
+        pq = parse_query(query)
+        term_ids = [t for t, _ in tokenize_query(pq.keywords[0])] if pq.keywords else []
+        return enrich_ranked(di, ranked, term_ids).select(
+            "doc_id", "score", "rank", "url", "abstract"
+        )
+
+    return run
 
 
 def _media_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,11 +294,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BM25 top-k through block-max pruning (north-rule scorer; the
         # pruning is lossless so the exhaustive SQL oracle value-checks it)
         "search_bm25_topk": _bm25_topk_q("table spark", k=10),
+        # BM25 top-k FORCED through the executor-side plan (pruned scan →
+        # mapInArrow tf decode → dl sidecar join → sum → TakeOrdered; the
+        # driver holds k rows) — same exhaustive SQL oracle
+        "dist_search_bm25_topk": _bm25_topk_q(
+            "table spark", k=10, force_distributed=True
+        ),
         # highlight/abstract enrichment (H1-H4) — full value oracle: the
         # interval-merge/window/abstract arithmetic is reproduced in DuckDB
         # SQL (sqlgen.search_highlight_sql); ranking feeds the kernel at
         # 6 dp so ties rank identically in both engines
         "search_highlight": _search_highlight_q("table", k=10),
+        # the same H1-H4 pipeline through the compressed disk-index path
+        "seg_search_highlight": _seg_search_highlight_q("table", k=10),
         # --- training-data pipeline: dedup ---------------------------------
         "dedup_exact": lambda s, d: D.exact_dedup(_documents(s, d)),
         "dedup_jaccard": lambda s, d: D.ngram_jaccard_pairs(_documents(s, d)),
@@ -256,9 +316,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_knn": lambda s, d: SIM.cosine_topk(_embeddings(s, d), query_vec_id=0),
         "embed_lsh_buckets": lambda s, d: SIM.lsh_buckets(_embeddings(s, d)),
         "embed_neardup": lambda s, d: SIM.embedding_neardup_pairs(_embeddings(s, d)),
-        # IVF coarse-quantizer path (the second scale path next to LSH)
-        "embed_ivf_assign": lambda s, d: SIM.ivf_assign(_embeddings(s, d)),
-        "embed_ivf_topk": lambda s, d: SIM.ivf_topk(_embeddings(s, d), query_vec_id=0),
+        # IVF coarse-quantizer path (the second scale path next to LSH);
+        # round-3: the codebook is Lloyd-TRAINED (2 deterministic
+        # iterations, rounded means) and the oracle runs the same unrolled
+        # training — centroids are cross-engine data, not shared math
+        "embed_ivf_assign": _ivf_assign_q,
+        "embed_ivf_topk": _ivf_topk_q,
         # --- text analysis ---------------------------------------------------
         "text_lang_id": lambda s, d: TS.lang_id(_documents(s, d)),
         "text_quality": lambda s, d: TS.quality_score(_documents(s, d)),
@@ -272,6 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # math, value-checked against the sha256-keystream DuckDB oracle) ----
         "media_features": _media_features_q,
         "media_frames": _media_frames_q,
+        "media_thumbs": _media_thumbs_q,
     }
 
 
@@ -293,7 +357,9 @@ def oracle_sql() -> dict[str, str]:
         "seg_search_not": sqlgen.search_sql("table -dup"),
         "seg_search_site": sqlgen.search_sql("table site:src3"),
         "search_highlight": sqlgen.search_highlight_sql("table", 10),
+        "seg_search_highlight": sqlgen.search_highlight_sql("table", 10),
         "search_bm25_topk": sqlgen.bm25_topk_sql("table spark", 10),
+        "dist_search_bm25_topk": sqlgen.bm25_topk_sql("table spark", 10),
         "dist_search_and": sqlgen.search_sql("table spark"),
         "dist_search_site": sqlgen.search_sql("table site:src3"),
         "dedup_exact": sqlgen.dedup_exact_sql(),
@@ -313,4 +379,5 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": sqlgen.sessionize_sql(),
         "media_features": sqlgen.media_features_sql(),
         "media_frames": sqlgen.media_frames_sql(),
+        "media_thumbs": sqlgen.media_thumbs_sql(),
     }

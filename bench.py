@@ -8,10 +8,12 @@ Extra keys (informational): docs_per_sec for the index build, n_docs,
 noise_probe (pure-Python spin rate, Mop/s — this host shows up-to-3x
 CPU-steal swings; see BASELINE.md host-noise protocol).
 
-Every timed entry is the MIN of 2 runs: the host's CPU steal arrives in
-multi-second storms, so a single sample can be 10-50x off; min-of-2 keeps
-one quiet-window sample per query (standard noisy-host practice, same
-protocol as tools/scale_bench.py).
+Every timed entry is an adaptive min-of-N (stop when two consecutive
+samples agree within 30%, max 4): the host's CPU steal arrives in
+multi-second storms, so a single sample can be 10-50x off (same protocol
+as tools/scale_bench.py). Index queries are reported twice: ``q_*`` =
+COLD (DiskIndex LRUs cleared before every rep) and ``q_*_warm`` = cached
+steady-state serving latency (ADVICE r2 — prior rounds mixed the two).
 
 Run: python bench.py  [--sf-dir DIR] [--cpus N]
 """
@@ -63,12 +65,18 @@ def main() -> None:
 
     probe_before = spin_probe()
 
-    def timed(name: str, fn, max_reps: int = 4):
+    def timed(name: str, fn, max_reps: int = 4, reset=None):
         # adaptive min: stop at the first pair of consecutive samples that
         # agree within 30% (a quiet window); a steal storm inflates samples
-        # erratically, so agreement implies a clean measurement
+        # erratically, so agreement implies a clean measurement.
+        # ``reset`` (untimed) runs before EVERY rep — for index queries it
+        # clears the DiskIndex LRUs so each sample is a COLD query; without
+        # it, reps 2+ would hit segment/df caches and report warm-cache
+        # latencies as if they were cold (ADVICE r2).
         best, prev, out = None, None, None
         for _ in range(max_reps):
+            if reset is not None:
+                reset()
             t0 = time.time()
             out = fn()
             dt = time.time() - t0
@@ -120,7 +128,18 @@ def main() -> None:
     timings["index_build_logical"] = round(time.time() - t0, 3)
 
     # --- query side: compressed blob path (the product query engine) -------
-    search_segments(di, "table").collect()  # warm the segment reader path
+    # Protocol (ADVICE r2): cold and warm are timed SEPARATELY. q_* = cold
+    # (the DiskIndex LRUs are cleared before every rep, so min-of-N never
+    # reads a prior rep's segment/df cache); q_*_warm = the same query with
+    # the caches primed (the steady-state serving latency, the number the
+    # reference's LRU-fronted read path reports). Round-1/2 q_* values mixed
+    # the two (warm reps inside min-of-N), closest to today's _warm column.
+    search_segments(di, "table").collect()  # JVM/codegen warmup (then cleared)
+
+    def timed_query(name: str, fn):
+        timed(name, fn, reset=di.clear_caches)  # cold: LRUs dropped per rep
+        timed(f"{name}_warm", fn)  # warm: caches left primed from above
+
     for qname, q in [
         ("q_single", "table"),
         ("q_and", "table spark"),
@@ -128,16 +147,20 @@ def main() -> None:
         ("q_site", "spark site:src3"),
         ("q_rare", "dup"),
     ]:
-        timed(qname, lambda q=q: search_segments(di, q).collect())
-    timed("q_wand_topk", lambda: topk_wand(di, "customer query", 10))
+        timed_query(qname, lambda q=q: search_segments(di, q).collect())
+    timed_query("q_wand_topk", lambda: topk_wand(di, "customer query", 10))
     from search_engine_spark.operators.wand import topk_bm25_wand
 
-    timed("q_bm25_topk", lambda: topk_bm25_wand(di, "customer query", 10))
-    # executor-side hot-term plan, forced — the latency an off-driver-budget
-    # query pays (everything stays in Spark; driver holds only winners)
-    timed(
+    timed_query("q_bm25_topk", lambda: topk_bm25_wand(di, "customer query", 10))
+    # executor-side plans, forced — the latency an off-driver-budget query
+    # pays (everything stays in Spark; driver holds only the winners)
+    timed_query(
         "q_dist_and",
         lambda: search_segments(di, "table spark", max_driver_postings=0).collect(),
+    )
+    timed_query(
+        "q_dist_bm25_topk",
+        lambda: topk_bm25_wand(di, "customer query", 10, max_driver_postings=0),
     )
     timed("q_df_single", lambda: search(index, "table").collect())
 

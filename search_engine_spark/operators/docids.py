@@ -20,6 +20,23 @@ from pyspark.sql import functions as F
 
 DOC_KEY = ["repo", "path", "commit"]
 
+# Ranked intermediates persisted by assign_doc_ids, newest last. They must
+# outlive the call (the returned plan reads them), so they are tracked
+# here instead of leaking anonymously; call release_assign_cache() once
+# the assigned output has been materialized somewhere durable (e.g. the
+# doc store parquet) to free executor storage.
+_PERSISTED: list[DataFrame] = []
+
+
+def release_assign_cache() -> None:
+    """Unpersist every intermediate pinned by prior assign_doc_ids calls.
+
+    Safe once the assigned doc_ids have been written out (re-consuming an
+    old returned DataFrame afterwards recomputes instead of reading
+    cache — correct, just slower)."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
 
 def assign_doc_ids(
     df: DataFrame,
@@ -63,17 +80,41 @@ def assign_doc_ids(
     if persist_input:
         from pyspark import StorageLevel as _SL
 
-        # persist the RANKED intermediate: the offsets aggregate below
-        # materializes it, and the final assignment join then reads the
-        # cache instead of re-running shuffle+window (job 3 -> cache read)
+        # persist the RANKED intermediate: the eager offsets aggregate
+        # below materializes it, and the final assignment expression then
+        # reads the cache instead of re-running shuffle+window. Tracked in
+        # _PERSISTED (release_assign_cache) instead of leaking for the app
+        # lifetime (ADVICE r2).
         local = local.persist(_SL.MEMORY_AND_DISK)
-    # Tiny aggregate (one row per partition) → broadcast join back.
-    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn("_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)))
+        _PERSISTED.append(local)
+    # Tiny aggregate (one row per partition), collected EAGERLY: the
+    # per-partition counts become a literal exclusive-prefix-sum map, so
+    # no join (broadcast or otherwise) remains in the returned plan — and
+    # the input persist can be dropped right here (the ranked cache now
+    # feeds everything downstream).
+    counts = sorted(
+        (r["_pid"], r["_cnt"])
+        for r in local.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    if persist_input:
+        # The input persist served its two jobs (range sampling + rank
+        # materialization, both above); the ranked cache feeds everything
+        # downstream, so drop the input pin right here. (It was never in
+        # _PERSISTED — only the ranked intermediate outlives the call.)
+        df.unpersist()
+    off_expr = F.element_at(
+        F.create_map(
+            *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
+        ),
+        F.col("_pid"),
+    ) if offsets else F.lit(0)
     out = (
-        local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
-        .withColumn("doc_id", (F.col("_off") + F.col("_local_rn")).cast("long"))
-        .drop("_pid", "_local_rn", "_off")
+        local.withColumn("doc_id", (off_expr + F.col("_local_rn")).cast("long"))
+        .drop("_pid", "_local_rn")
     )
     return out

@@ -41,7 +41,7 @@ MEDIA_SCHEMA = (
 FEATURES_SCHEMA = "media_id long, feat array<double>, n_bytes long, ok boolean"
 
 THUMB_SCHEMA = (
-    "media_id long, thumb_w int, thumb_h int, thumb_mean array<float>, ok boolean"
+    "media_id long, thumb_w int, thumb_h int, thumb_mean array<double>, ok boolean"
 )
 
 FRAMES_SCHEMA = "media_id long, frame_idx int, frame_ms int, frame_feat array<double>"
@@ -151,40 +151,68 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(kernel, FEATURES_SCHEMA)
 
 
+def _block_means(img: np.ndarray, thumb: int) -> np.ndarray:
+    """thumb×thumb block mean-pool of an H×W×3 image, float64, row-major
+    cell order. Fully vectorized (one reshape+mean) when both dims divide
+    evenly — the synthetic corpus's case — with a linspace-grid fallback
+    for ragged shapes. Integer pixel sums are exact in float64, so the
+    two paths agree bit-for-bit where both apply."""
+    h, w, _ = img.shape
+    if h % thumb == 0 and w % thumb == 0:
+        return (
+            img.astype(np.int64)
+            .reshape(thumb, h // thumb, thumb, w // thumb, 3)
+            .sum(axis=(1, 3, 4))
+            / float((h // thumb) * (w // thumb) * 3)
+        ).reshape(-1)
+    ys = np.linspace(0, h, thumb + 1, dtype=int)
+    xs = np.linspace(0, w, thumb + 1, dtype=int)
+    return np.array(
+        [
+            img[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+            for i in range(thumb)
+            for j in range(thumb)
+        ],
+        np.float64,
+    )
+
+
 def thumbnail_stats(media: DataFrame, thumb: int = 8) -> DataFrame:
-    """Image decode → resize-to-thumbnail → channel means (mapInPandas).
+    """Image decode → resize-to-thumbnail → block means (mapInPandas).
 
     Decode is the stub; the resize (block mean-pool to ``thumb×thumb``)
-    and the batch plumbing are real."""
+    and the batch plumbing are real. Means are exact integer pixel sums
+    divided in float64, so the DuckDB driver oracle (media_thumbs)
+    value-checks them. Round-3: the kernel iterates plain column arrays
+    (zip) with a vectorized reshape-pool per image — no ``iterrows``,
+    no per-pixel Python."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"media_id": [], "thumb_w": [], "thumb_h": [], "thumb_mean": [], "ok": []}
-            for _, row in pdf.iterrows():
-                out["media_id"].append(row["media_id"])
+            ids = pdf["media_id"].to_numpy()
+            tw = np.full(ids.size, thumb, np.int32)
+            th = np.full(ids.size, thumb, np.int32)
+            oks = np.ones(ids.size, bool)
+            means: list[np.ndarray] = []
+            for i, (payload, w, h) in enumerate(
+                zip(pdf["payload"], pdf["width"], pdf["height"])
+            ):
                 try:
-                    img = _decode_image_stub(row["payload"], row["width"], row["height"])
-                    h, w, _ = img.shape
-                    ys = np.linspace(0, h, thumb + 1, dtype=int)
-                    xs = np.linspace(0, w, thumb + 1, dtype=int)
-                    means = np.array(
-                        [
-                            img[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
-                            for i in range(thumb)
-                            for j in range(thumb)
-                        ],
-                        np.float32,
-                    )
-                    out["thumb_w"].append(thumb)
-                    out["thumb_h"].append(thumb)
-                    out["thumb_mean"].append(means)
-                    out["ok"].append(True)
+                    img = _decode_image_stub(payload, int(w), int(h))
+                    means.append(_block_means(img, thumb))
                 except NotImplementedError:
-                    out["thumb_w"].append(0)
-                    out["thumb_h"].append(0)
-                    out["thumb_mean"].append(np.zeros(thumb * thumb, np.float32))
-                    out["ok"].append(False)
-            yield pd.DataFrame(out)
+                    tw[i] = th[i] = 0
+                    oks[i] = False
+                    means.append(np.zeros(thumb * thumb, np.float64))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "thumb_w": tw,
+                    "thumb_h": th,
+                    "thumb_mean": means,
+                    "ok": oks,
+                }
+            )
 
     return media.filter(F.col("kind") == "image").select(
         "media_id", "payload", "width", "height"
@@ -196,28 +224,42 @@ def sample_frames(media: DataFrame, every_ms: int = 500, dim: int = 4) -> DataFr
     (mapInPandas returning a VARIABLE number of rows per input — the
     Spark-side shape a real ffmpeg frame extractor needs)."""
 
+    w = 64 // dim  # dim divides 64 for every supported feature width
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, mss, feats = [], [], [], []
-            for _, row in pdf.iterrows():
-                dur = int(row["duration_ms"])
-                b = np.frombuffer(row["payload"], np.uint8)
-                for k, ms in enumerate(range(0, dur, every_ms)):
-                    ids.append(row["media_id"])
-                    idxs.append(k)
-                    mss.append(ms)
-                    # stub frame feature: windowed byte means keyed by ms
-                    # (exact int sums / float64 division — oracle-portable)
-                    off = (ms * 37) % max(b.size - 64, 1)
-                    win = b[off : off + 64].astype(np.int64)
-                    feats.append(
-                        np.array(
-                            [s.sum() / float(s.size) for s in np.array_split(win, dim)],
-                            np.float64,
-                        )
-                    )
+            # per-media loop only (payload buffers differ per row); all
+            # per-FRAME math is one vectorized gather + reshape per video
+            # (round-3: the per-frame Python loop / iterrows is gone).
+            # stub frame feature: windowed byte means keyed by ms
+            # (exact int sums / float64 division — oracle-portable)
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                b = np.frombuffer(payload, np.uint8)
+                ms = np.arange(0, int(dur), every_ms, dtype=np.int64)
+                if ms.size == 0:
+                    continue
+                offs = (ms * 37) % max(b.size - 64, 1)
+                wins = b[offs[:, None] + np.arange(64)]  # (n_frames, 64)
+                fmat = (
+                    wins.astype(np.int64).reshape(ms.size, dim, w).sum(axis=2)
+                    / float(w)
+                )
+                ids.append(np.full(ms.size, mid, np.int64))
+                idxs.append(np.arange(ms.size, dtype=np.int64))
+                mss.append(ms)
+                feats.extend(fmat)
+            if not ids:
+                continue
             yield pd.DataFrame(
-                {"media_id": ids, "frame_idx": idxs, "frame_ms": mss, "frame_feat": feats}
+                {
+                    "media_id": np.concatenate(ids),
+                    "frame_idx": np.concatenate(idxs),
+                    "frame_ms": np.concatenate(mss),
+                    "frame_feat": feats,
+                }
             )
 
     return media.filter(F.col("kind") == "video").select(

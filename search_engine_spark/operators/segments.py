@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import codec
+from .docids import release_assign_cache
 
 SEGMENT_SCHEMA = (
     "bucket int, term_id long, salt int, df long, ctf long, n_docs long, "
@@ -583,6 +584,12 @@ def write_index(
     }
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
+    # Everything (doc store, segments, lexicon, manifest) is durable now:
+    # release the doc-id assignment's persisted intermediates so repeated
+    # builds in one app don't accumulate executor storage (ADVICE r2).
+    # Re-consuming the in-memory documents DF afterwards recomputes the
+    # rank instead of reading cache — correct, just slower.
+    release_assign_cache()
     return IndexMeta(n_docs, n_buckets, n_shards, fp, avgdl)
 
 
@@ -657,14 +664,38 @@ class DiskIndex:
         self._empty_result = None
         self._dl = None
 
+    def clear_caches(self) -> None:
+        """Drop the per-query LRUs (segments, df metadata, site filters,
+        results) so the next query pays the cold fetch path. Load-time
+        state survives: the DataFrame handles, meta, and the dl sidecar
+        (``_dl``) are index-load costs, not per-query costs. Used by
+        bench.py to time COLD queries between reps (ADVICE r2)."""
+        self.segment_cache = LruCache(100_000)
+        self.df_cache = LruCache(1_000_000)
+        self.site_cache = LruCache(10_000)
+        self.result_cache = LruCache(10_000)
+
+    def doc_length_df(self) -> DataFrame:
+        """(doc_id, dl) as a DataFrame — the doc-partitioned BM25 length
+        sidecar. This is what the EXECUTOR-SIDE scoring path joins against
+        (never collected); reads the ``dl`` column written by
+        ``write_index``, falling back to the token-count expression for
+        pre-dl index dirs."""
+        docs = self._documents
+        if "dl" in docs.columns:
+            return docs.select("doc_id", "dl")
+        return docs.select("doc_id", doc_length_expr())
+
     def doc_lengths(self):
         """(doc_ids sorted asc, dl) int64 arrays — BM25 length norm.
 
         Reads the ``dl`` column written by ``write_index`` (falls back to
         computing the token-count expression for pre-dl index dirs). The
-        whole column is held driver-side (16 bytes/doc): fine to ~10^8
-        docs; at 10^12 the lengths stay a doc-partitioned sidecar and
-        BM25 scoring moves executor-side with the distributed query path.
+        whole column is held driver-side (16 bytes/doc) — which is why the
+        score-ordered query family only uses this below the
+        ``wand.MAX_DRIVER_DOCS`` valve; above it the distributed twin
+        joins ``doc_length_df`` executor-side and the driver never holds
+        more than the k winners.
         """
         if self._dl is None:
             import numpy as _np

@@ -176,6 +176,14 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
+# Distances and centroid components are rounded to this many decimals on
+# BOTH engine and oracle sides: cross-engine float-sum order is not
+# guaranteed (left-assoc aggregate fold here vs. SQL SUM), so raw argmin
+# could flip on a last-ulp tie. Rounding at 1e-9 absorbs ~1e-15-relative
+# accumulation drift while leaving real distance differences intact.
+IVF_ROUND_DP = 9
+
+
 def ivf_centroids(
     embeddings: DataFrame,
     n_centroids: int = 8,
@@ -183,10 +191,8 @@ def ivf_centroids(
     id_col: str = "vec_id",
 ) -> list[list[float]]:
     """Deterministic coarse centroids: the vectors with the ``n_centroids``
-    lowest ids (the standard sample-init of k-means, kept un-iterated so
-    any engine — including the SQL oracle — reproduces the quantizer
-    bit-for-bit; Lloyd refinement would demand cross-engine float-sum
-    order guarantees the oracle can't give)."""
+    lowest ids (the standard sample-init of k-means). Used as-is by the
+    untrained path and as the Lloyd seed by ``ivf_train_centroids``."""
     rows = (
         embeddings.filter(F.col(id_col) < n_centroids)
         .orderBy(id_col)
@@ -205,24 +211,78 @@ def _sq_l2(vec: Column, centroid: list[float]) -> Column:
     return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic fixed-iteration Lloyd refinement of the coarse
+    quantizer (VERDICT r2 #5).
+
+    Each iteration assigns every vector to its nearest centroid (the same
+    rounded-distance argmin as ``ivf_assign``) and replaces each centroid
+    with the per-dimension mean of its members, ROUNDED to
+    ``IVF_ROUND_DP`` decimals — the rounding makes the trained centroids
+    *data* any engine reproduces exactly (the SQL oracle runs the same
+    unrolled iterations), instead of demanding cross-engine float-sum
+    order. Empty clusters keep their previous centroid. Driver cost per
+    iteration: one tiny collect of n_centroids × dim rounded means; all
+    heavy work (assignment + per-dim averages) is executor-side column
+    expressions + one hash aggregate."""
+    cents = ivf_centroids(embeddings, n_centroids, vec_col, id_col)
+    if not cents:
+        return cents
+    dim = len(cents[0])
+    vecs = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("_v")
+    )
+    for _ in range(n_iter):
+        assign = ivf_assign(
+            embeddings, n_centroids, vec_col, id_col, centroids=cents
+        )
+        aggs = [
+            F.round(
+                F.avg(F.element_at(F.col("_v"), j + 1).cast("double")), IVF_ROUND_DP
+            ).alias(f"c{j}")
+            for j in range(dim)
+        ]
+        rows = vecs.join(assign, "vec_id").groupBy("centroid").agg(*aggs).collect()
+        new = {
+            int(r["centroid"]): [float(r[f"c{j}"]) for j in range(dim)] for r in rows
+        }
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+    return cents
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF list assignment: (vec_id, centroid) — argmin squared L2 to the
-    coarse centroids, ties to the lowest centroid id.
+    coarse centroids, ties to the lowest centroid id. Distances are
+    rounded to ``IVF_ROUND_DP`` decimals before the argmin (mirrored in
+    the oracle SQL) so cross-engine accumulation-order noise cannot flip
+    an assignment.
 
     Pure column expressions (one struct-min over n_centroids folds); at
     scale the vector table is then written partitioned by ``centroid`` so
     a probe reads only its lists (partition pruning), exactly like the
-    LSH layout."""
-    cents = ivf_centroids(embeddings, n_centroids, vec_col, id_col)
+    LSH layout. Pass ``centroids`` (e.g. from ``ivf_train_centroids``) to
+    quantize against a trained codebook."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(embeddings, n_centroids, vec_col, id_col)
+    )
     entries = F.array(
         *[
             F.struct(
-                _sq_l2(F.col(vec_col), c).alias("d"),
+                F.round(_sq_l2(F.col(vec_col), c), IVF_ROUND_DP).alias("d"),
                 F.lit(i).cast("long").alias("cid"),
             )
             for i, c in enumerate(cents)
@@ -243,13 +303,15 @@ def ivf_topk(
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-pruned approximate top-k: cosine top-k among the vectors whose
     IVF list is one of the ``n_probe`` centroids nearest the query.
 
-    The probe-list choice is the same argmin metric as the assignment, so
-    the scan prunes to n_probe/n_centroids of the table (with a
-    centroid-partitioned layout: partition pruning)."""
+    The probe-list choice is the same rounded argmin metric as the
+    assignment, so the scan prunes to n_probe/n_centroids of the table
+    (with a centroid-partitioned layout: partition pruning). Pass
+    ``centroids`` for a trained codebook."""
     q_rows = embeddings.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("_q")
     ).collect()
@@ -258,16 +320,22 @@ def ivf_topk(
             [], "vec_id long, cos_sim double"
         )
     q = [float(x) for x in q_rows[0]["_q"]]
-    cents = ivf_centroids(embeddings, n_centroids, vec_col, id_col)
-    # same left-assoc fold as the engine expressions, driver-side
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(embeddings, n_centroids, vec_col, id_col)
+    )
+    # same left-assoc fold as the engine expressions, driver-side; rounded
+    # like the assignment path (python round half-to-even vs SQL half-up
+    # differ only on exact 5e-10 boundaries — not reachable by these sums)
     def sqd(c):
         s = 0.0
         for x, y in zip(q, c):
             s += (x - y) * (x - y)
-        return s
+        return round(s, IVF_ROUND_DP)
 
     probes = sorted(range(len(cents)), key=lambda i: (sqd(cents[i]), i))[:n_probe]
-    assign = ivf_assign(embeddings, n_centroids, vec_col, id_col)
+    assign = ivf_assign(embeddings, n_centroids, vec_col, id_col, centroids=cents)
     cand_ids = assign.filter(F.col("centroid").isin(probes)).select(
         F.col("vec_id").alias("_cid")
     )

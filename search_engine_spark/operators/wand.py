@@ -194,6 +194,40 @@ def _decode_docids_df(seg_rows: DataFrame) -> DataFrame:
     )
 
 
+def _decode_tf_df(seg_rows: DataFrame) -> DataFrame:
+    """Executor-side blob decode → (term_id, doc_id, tf) rows (mapInArrow).
+
+    tf = the doc's position count for the term (title+body combined —
+    the reference's tf, search.go:423). Like ``_decode_docids_df`` this
+    never ships a blob to the driver; each task decodes its own scan
+    split's rows."""
+    import pyarrow as pa
+
+    def kernel(batches):
+        for batch in batches:
+            tids = batch.column("term_id").to_numpy(zero_copy_only=False)
+            blobs = batch.column("blob")
+            out_t, out_d, out_f = [], [], []
+            for i in range(batch.num_rows):
+                doc_ids, _, npos, _ = codec.decode_term_postings(blobs[i].as_py())
+                out_t.append(np.full(doc_ids.size, tids[i], np.int64))
+                out_d.append(doc_ids)
+                out_f.append(npos.astype(np.int64))
+            if out_t:
+                yield pa.record_batch(
+                    [
+                        pa.array(np.concatenate(out_t), pa.int64()),
+                        pa.array(np.concatenate(out_d), pa.int64()),
+                        pa.array(np.concatenate(out_f), pa.int64()),
+                    ],
+                    names=["term_id", "doc_id", "tf"],
+                )
+
+    return seg_rows.select("term_id", "blob").mapInArrow(
+        kernel, "term_id long, doc_id long, tf long"
+    )
+
+
 def _decode_positions_for(seg_rows: DataFrame, doc_ids: np.ndarray) -> DataFrame:
     """Executor-side decode of title_end+positions for a FIXED small doc
     set (the ≤50 truncation winners, shipped in the task closure) —
@@ -436,6 +470,13 @@ def _score_docs(
 # with df ~ n_docs at 100 TB.
 MAX_DRIVER_POSTINGS = 2_000_000
 
+# The BM25 driver path additionally caches the whole dl column (16
+# bytes/doc); above this corpus size the score-ordered queries always take
+# the distributed plan, where dl stays a doc-partitioned sidecar joined
+# executor-side (DiskIndex.doc_length_df) and the driver holds only the k
+# winners.
+MAX_DRIVER_DOCS = 2_000_000
+
 
 def search_segments(
     di: DiskIndex,
@@ -538,9 +579,22 @@ def search_segments(
 # --------------------------------------------------------------------------
 
 
-def topk_exhaustive(di: DiskIndex, query: str, k: int = 10) -> list[tuple[int, float]]:
-    """Exhaustive disjunctive top-k by S — the oracle for topk_wand."""
+def _collect_topk(df: DataFrame) -> list[tuple[int, float]]:
+    """Materialize a distributed top-k plan — the driver holds k rows."""
+    return [(int(r["doc_id"]), float(r["score"])) for r in df.collect()]
+
+
+def topk_exhaustive(
+    di: DiskIndex,
+    query: str,
+    k: int = 10,
+    max_driver_postings: int = MAX_DRIVER_POSTINGS,
+) -> list[tuple[int, float]]:
+    """Exhaustive disjunctive top-k by S — the oracle for topk_wand.
+    Routes to the executor-side plan above the driver valves."""
     qtokens = tokenize_query(query)
+    if _route_distributed(di, sorted({t for t, _ in qtokens}), max_driver_postings):
+        return _collect_topk(topk_scores_distributed(di, query, k, "tfidf"))
     segs = fetch_term_segments(di, [t for t, _ in qtokens])
     acc: dict[int, float] = {}
     for tid in segs:
@@ -553,12 +607,23 @@ def topk_exhaustive(di: DiskIndex, query: str, k: int = 10) -> list[tuple[int, f
     return sorted(acc.items(), key=lambda x: (-x[1], x[0]))[:k]
 
 
-def topk_wand(di: DiskIndex, query: str, k: int = 10) -> list[tuple[int, float]]:
+def topk_wand(
+    di: DiskIndex,
+    query: str,
+    k: int = 10,
+    max_driver_postings: int = MAX_DRIVER_POSTINGS,
+) -> list[tuple[int, float]]:
     """Block-max pruned top-k: [(doc_id, S)] — equals topk_exhaustive.
 
     Also records pruning stats on the function attribute ``last_stats``.
+    Above the driver valves (sum df > ``max_driver_postings`` or corpus >
+    ``MAX_DRIVER_DOCS``) the query runs as the executor-side plan instead
+    — same result, driver memory O(k).
     """
     qtokens = tokenize_query(query)
+    if _route_distributed(di, sorted({t for t, _ in qtokens}), max_driver_postings):
+        topk_wand.last_stats = {"blocks_total": 0, "blocks_decoded": 0, "path": "distributed"}
+        return _collect_topk(topk_scores_distributed(di, query, k, "tfidf"))
     segs = fetch_term_segments(di, [t for t, _ in qtokens])
     if not segs:
         topk_wand.last_stats = {"blocks_total": 0, "blocks_decoded": 0}
@@ -637,19 +702,111 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def topk_scores_distributed(
+    di: DiskIndex, query: str, k: int = 10, scorer: str = "bm25"
+) -> DataFrame:
+    """Executor-side disjunctive top-k — the cluster-scale twin of the
+    driver block-max routes (VERDICT r2 #2; reference read path
+    /root/reference/index/core/search.go:187-273 at cluster scale).
+
+    Physical plan (everything stays in Spark; the driver sees k rows):
+
+    - pruned segment scan (bucket partition pruning + term_id pushdown)
+      → mapInArrow blob decode to (term_id, doc_id, tf);
+    - ``scorer='bm25'``: join the doc-partitioned dl sidecar
+      (``DiskIndex.doc_length_df`` — a column of the doc store, NEVER
+      collected) on doc_id — a skew-free shuffle join;
+      ``scorer='tfidf'``: no join at all (S = (1+ln tf)·ln(N/df));
+    - per-row contribution as a column expression (idf is a tiny CASE
+      over the query's terms, built from the pruned METADATA df scan);
+    - groupBy(doc_id).sum → orderBy(score desc, doc_id).limit(k), which
+      Catalyst executes as TakeOrderedAndProject: each partition emits
+      its local k, the driver merges k-sized heaps.
+
+    Returns a DataFrame (doc_id, score). Exact (no pruning) — block-max
+    skipping is a driver-route optimization; at executor scale the scan
+    prune + per-partition top-k already bound the work per task.
+    """
+    from ..functions.xxhash import bucket_of_term
+
+    qtokens = tokenize_query(query)
+    tids = sorted({t for t, _ in qtokens})
+    dfs = _df_of_terms(di, tids)
+    tids = [t for t in tids if dfs.get(t, 0) > 0]
+    empty = di.empty_result().select("doc_id", "score")
+    if not tids:
+        return empty
+    n = di.meta.n_docs
+    if scorer == "bm25":
+        idfs = {t: _bm25_idf(n, dfs[t]) for t in tids}
+    else:
+        idfs = {t: math.log(n / dfs[t]) for t in tids}
+
+    buckets = sorted({bucket_of_term(t, di.meta.n_buckets) for t in tids})
+    seg_rows = di.segments.filter(
+        F.col("bucket").isin(buckets) & F.col("term_id").isin(tids)
+    )
+    tf_rows = _decode_tf_df(seg_rows)
+    idf_col = F.lit(0.0)
+    for t in tids:
+        idf_col = F.when(F.col("term_id") == t, F.lit(idfs[t])).otherwise(idf_col)
+    tf = F.col("tf").cast("double")
+    if scorer == "bm25":
+        avgdl = di.avgdl()
+        scored = tf_rows.join(di.doc_length_df(), "doc_id")
+        contrib = idf_col * (
+            tf * (BM25_K1 + 1.0)
+            / (
+                tf
+                + BM25_K1
+                * (1.0 - BM25_B + BM25_B * (F.col("dl").cast("double") / avgdl))
+            )
+        )
+    else:
+        scored = tf_rows
+        contrib = (1.0 + F.log(tf)) * idf_col
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _route_distributed(di: DiskIndex, term_ids: list[int], max_driver_postings: int) -> bool:
+    """True when the score-ordered query must leave the driver: corpus too
+    big for the dl cache, or the query's terms exceed the postings valve.
+    Terms already LRU-resident skip the metadata scan (same fast path as
+    ``search_segments``)."""
+    if di.meta.n_docs > MAX_DRIVER_DOCS:
+        return True
+    if all(t in di.segment_cache for t in term_ids):
+        return False
+    dfs = _df_of_terms(di, term_ids)
+    return sum(dfs.values()) > max_driver_postings
+
+
 def _bm25_idf(n_docs: int, df: int) -> float:
     """Lucene-form BM25 idf: ln(1 + (N - df + 0.5)/(df + 0.5)) — always
     positive, mirrored exactly in the SQL oracle."""
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
-def topk_bm25_exhaustive(di: DiskIndex, query: str, k: int = 10) -> list[tuple[int, float]]:
+def topk_bm25_exhaustive(
+    di: DiskIndex,
+    query: str,
+    k: int = 10,
+    max_driver_postings: int = MAX_DRIVER_POSTINGS,
+) -> list[tuple[int, float]]:
     """Exhaustive disjunctive BM25 top-k: [(doc_id, score)].
 
     score(d) = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
     The expression tree matches the DuckDB oracle term-for-term so float64
-    results agree bit-for-bit."""
+    results agree bit-for-bit. Routes to the executor-side plan above the
+    driver valves (dl then stays a joined sidecar, never collected)."""
     qtokens = tokenize_query(query)
+    if _route_distributed(di, sorted({t for t, _ in qtokens}), max_driver_postings):
+        return _collect_topk(topk_scores_distributed(di, query, k, "bm25"))
     segs = fetch_term_segments(di, sorted({t for t, _ in qtokens}))
     if not segs:
         return []
@@ -672,15 +829,29 @@ def topk_bm25_exhaustive(di: DiskIndex, query: str, k: int = 10) -> list[tuple[i
     return sorted(acc.items(), key=lambda x: (-x[1], x[0]))[:k]
 
 
-def topk_bm25_wand(di: DiskIndex, query: str, k: int = 10) -> list[tuple[int, float]]:
+def topk_bm25_wand(
+    di: DiskIndex,
+    query: str,
+    k: int = 10,
+    max_driver_postings: int = MAX_DRIVER_POSTINGS,
+) -> list[tuple[int, float]]:
     """Block-max pruned BM25 top-k — equals topk_bm25_exhaustive.
 
     Per-block upper bound: BM25's tf term is increasing in tf and
     decreasing in dl, so idf·(k1+1)·tf_max/(tf_max + k1·(1−b)) (i.e.
     dl→0) bounds every doc in the block using only the block_max_tf
     sidecar — no schema change. Records ``last_stats`` like topk_wand.
+    Above the driver valves the query runs as the executor-side plan
+    (same result, driver memory O(k), dl joined executor-side).
     """
     qtokens = tokenize_query(query)
+    if _route_distributed(di, sorted({t for t, _ in qtokens}), max_driver_postings):
+        topk_bm25_wand.last_stats = {
+            "blocks_total": 0,
+            "blocks_decoded": 0,
+            "path": "distributed",
+        }
+        return _collect_topk(topk_scores_distributed(di, query, k, "bm25"))
     segs = fetch_term_segments(di, sorted({t for t, _ in qtokens}))
     if not segs:
         topk_bm25_wand.last_stats = {"blocks_total": 0, "blocks_decoded": 0}

@@ -503,48 +503,106 @@ FROM z WHERE dot / sqrt(na * nb) >= {threshold}
 """.strip()
 
 
-def embed_ivf_assign_sql(n_centroids: int = 8) -> str:
-    """IVF list assignment oracle: centroid = argmin squared L2 to the
-    vectors with the ``n_centroids`` lowest vec_ids (ties -> lowest cid)."""
-    return f"""
-WITH cents AS (
-  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {n_centroids}
-),
-flat AS (
+IVF_ROUND_DP = 9  # mirror of operators/similarity.IVF_ROUND_DP
+
+
+def _ivf_train_ctes(n_centroids: int, n_iter: int, dim: int) -> tuple[str, str]:
+    """Unrolled Lloyd-iteration CTEs mirroring similarity.ivf_train_centroids.
+
+    Returns (cte_block, final_centroid_cte) where the final CTE has shape
+    (cid, d, cv): centroid components as DATA — every distance and every
+    per-dim mean is ROUND()ed exactly like the engine, so the trained
+    codebook is bit-identical across engines.
+    """
+    dp = IVF_ROUND_DP
+    dims = f"LATERAL (SELECT unnest(range(1, {dim + 1})) AS d) dd"
+    ctes = [
+        f"""cf0 AS (
+  SELECT vec_id AS cid, d, embedding[d]::DOUBLE AS cv
+  FROM embeddings, {dims}
+  WHERE vec_id < {n_centroids}
+)"""
+    ]
+    cur = "cf0"
+    for it in range(1, n_iter + 1):
+        ctes.append(
+            f"""d{it} AS (
   SELECT e.vec_id, c.cid,
-         unnest(e.embedding) AS x, unnest(c.ce) AS y
-  FROM embeddings e CROSS JOIN cents c
-),
-d AS (
-  SELECT vec_id, cid,
-         SUM((x::DOUBLE - y::DOUBLE) * (x::DOUBLE - y::DOUBLE)) AS dist
-  FROM flat GROUP BY 1, 2
+         ROUND(SUM((e.embedding[c.d]::DOUBLE - c.cv) * (e.embedding[c.d]::DOUBLE - c.cv)), {dp}) AS dist
+  FROM embeddings e CROSS JOIN {cur} c
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""a{it} AS (
+  SELECT vec_id, cid AS centroid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d{it}
+  ) rr WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""cf{it} AS (
+  SELECT g.cid, g.d, COALESCE(m.cv, g.cv) AS cv
+  FROM {cur} g LEFT JOIN (
+    SELECT a.centroid AS cid, dd.d, ROUND(AVG(e.embedding[dd.d]::DOUBLE), {dp}) AS cv
+    FROM embeddings e JOIN a{it} a USING (vec_id), {dims}
+    GROUP BY 1, 2
+  ) m ON m.cid = g.cid AND m.d = g.d
+)"""
+        )
+        cur = f"cf{it}"
+    return ",\n".join(ctes), cur
+
+
+def embed_ivf_assign_sql(n_centroids: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    """IVF list assignment oracle under the LLOYD-TRAINED codebook:
+    ``n_iter`` unrolled training iterations from the lowest-vec_id seeds,
+    then argmin of the rounded squared L2 (ties -> lowest cid) — the same
+    arithmetic, rounding, and empty-cluster fallback as the engine's
+    ``ivf_train_centroids`` + ``ivf_assign``."""
+    train, cur = _ivf_train_ctes(n_centroids, n_iter, dim)
+    dp = IVF_ROUND_DP
+    return f"""
+WITH {train},
+dfin AS (
+  SELECT e.vec_id, c.cid,
+         ROUND(SUM((e.embedding[c.d]::DOUBLE - c.cv) * (e.embedding[c.d]::DOUBLE - c.cv)), {dp}) AS dist
+  FROM embeddings e CROSS JOIN {cur} c
+  GROUP BY 1, 2
 ),
 r AS (
   SELECT vec_id, cid,
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-  FROM d
+  FROM dfin
 )
 SELECT vec_id::BIGINT AS vec_id, cid::BIGINT AS centroid FROM r WHERE rn = 1
 """.strip()
 
 
 def embed_ivf_topk_sql(
-    query_vec_id: int = 0, k: int = 10, n_centroids: int = 8, n_probe: int = 2
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    n_iter: int = 2,
+    dim: int = 64,
 ) -> str:
     """IVF-pruned cosine top-k oracle: candidates = vectors assigned to the
-    ``n_probe`` centroids nearest the query vector."""
-    assign = embed_ivf_assign_sql(n_centroids)
+    ``n_probe`` trained centroids nearest the query vector."""
+    assign = embed_ivf_assign_sql(n_centroids, n_iter, dim)
+    train, cur = _ivf_train_ctes(n_centroids, n_iter, dim)
+    dp = IVF_ROUND_DP
     return f"""
 WITH a AS ({assign}),
+{train},
 qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_vec_id}),
 qd AS (
-  SELECT c.vec_id AS cid,
-         SUM((x::DOUBLE - y::DOUBLE) * (x::DOUBLE - y::DOUBLE)) AS dist
-  FROM (
-    SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
-    FROM embeddings e CROSS JOIN qv q WHERE e.vec_id < {n_centroids}
-  ) c GROUP BY 1
+  SELECT c.cid,
+         ROUND(SUM((q.qe[c.d]::DOUBLE - c.cv) * (q.qe[c.d]::DOUBLE - c.cv)), {dp}) AS dist
+  FROM {cur} c CROSS JOIN qv q
+  GROUP BY 1
 ),
 probes AS (SELECT cid FROM qd ORDER BY dist, cid LIMIT {n_probe}),
 cand AS (
@@ -657,6 +715,52 @@ SELECT media_id,
        {fcols},
        {payload_bytes}::BIGINT AS n_bytes, TRUE AS ok
 FROM stripes GROUP BY media_id
+""".strip()
+
+
+def media_thumbs_sql(
+    n_media: int = 64, seed: int = 42, payload_bytes: int = 4096, thumb: int = 8
+) -> str:
+    """Oracle for multimodal.thumbnail_stats over synthesize_media.
+
+    Image rows (media_id % 3 == 0) with w = 64 + (id%8)*16 and
+    h = 48 + (id%8)*16; the stub decode tiles the payload bytes, so pixel
+    flat index k has value byte[k % payload_bytes]; the thumb×thumb block
+    pool is exact because both dims are divisible by ``thumb`` — block
+    cell of pixel (y, x) is (y // (h/thumb), x // (w/thumb)), and each
+    cell mean is an exact integer byte sum / (bh*bw*3) in float64 —
+    identical to the reshape-pool kernel."""
+    cells = ",\n       ".join(
+        f"ROUND(MAX(CASE WHEN cell = {c} THEN mean END), 6) AS m{c}"
+        for c in range(thumb * thumb)
+    )
+    return f"""
+WITH {_media_bytes_ctes(n_media, seed, payload_bytes)},
+imgs AS (
+  SELECT media_id,
+         (64 + (media_id % 8) * 16)::BIGINT AS w,
+         (48 + (media_id % 8) * 16)::BIGINT AS h
+  FROM ids WHERE media_id % 3 = 0
+),
+px AS (
+  SELECT i.media_id, i.w, i.h,
+         ((k // (i.w * 3)) // (i.h // {thumb})) * {thumb}
+           + ((k % (i.w * 3)) // 3) // (i.w // {thumb}) AS cell,
+         b.v
+  FROM imgs i,
+       LATERAL (SELECT unnest(range(0, i.h * i.w * 3)) AS k) kk
+  JOIN bytes b ON b.media_id = i.media_id AND b.j = k % {payload_bytes}
+),
+m AS (
+  SELECT media_id, cell,
+         SUM(v)::DOUBLE / (MAX(h // {thumb}) * MAX(w // {thumb}) * 3) AS mean
+  FROM px GROUP BY 1, 2
+)
+SELECT media_id,
+       {thumb} AS thumb_w, {thumb} AS thumb_h,
+       {cells},
+       TRUE AS ok
+FROM m GROUP BY media_id
 """.strip()
 
 

@@ -86,6 +86,30 @@ def _write_meta(index_dir: str, n_buckets: int) -> None:
         json.dump(meta, f)
 
 
+def _check_doc_store_layout(index_dir: str) -> None:
+    """Reject pre-round-2 FLAT doc stores (part files directly under
+    ``documents/``): mixing them with the gen=N generation directories
+    makes Spark partition discovery fail with a conflicting-structure
+    error mid-read. Failing eagerly with a rebuild message is the
+    recoverable behavior (ADVICE r2)."""
+    docs_dir = os.path.join(index_dir, "documents")
+    if not os.path.isdir(docs_dir):
+        return
+    flat = [
+        f
+        for f in os.listdir(docs_dir)
+        if f.startswith("part-") and os.path.isfile(os.path.join(docs_dir, f))
+    ]
+    if flat:
+        raise ValueError(
+            f"{docs_dir} uses the legacy flat doc-store layout "
+            f"({len(flat)} part files, e.g. {flat[0]}); streaming ingest "
+            "now writes generation-keyed documents/gen=N/ directories and "
+            "cannot mix with flat files. Rebuild the index directory, or "
+            "move the existing part files into documents/gen=0/."
+        )
+
+
 def ingest_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -95,6 +119,7 @@ def ingest_batch(
     salt_threshold: int = 250_000,
 ) -> None:
     """foreachBatch body: one micro-batch -> one segment generation."""
+    _check_doc_store_layout(index_dir)
     spark = batch_df.sparkSession
     t0 = time.time()
     batch_df = batch_df.cache()

@@ -1,0 +1,111 @@
+"""Dedup plan-shape and value-parity guarantees.
+
+The driver oracle (CORRECTNESS) value-checks every dedup operator at
+sf0.01; these tests pin the SCALE properties the oracle can't see:
+simhash must not multiply the shuffled row count by the bit width
+(VERDICT r2 "what's wrong" #4), and the minhash distinct-skip must be
+value-neutral (MIN over a multiset == MIN over its support).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    d.count()
+    return d
+
+
+def test_simhash_plan_is_explode_free(docs):
+    """Exactly ONE Generate (the token split) in the optimized plan —
+    the per-bit votes are parallel aggregates, not a token×bit explode."""
+    plan = (
+        D.simhash(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("Generate") == 1, plan
+
+
+def test_simhash_matches_exploded_reference(docs):
+    """Bit-sliced plan == the round-2 exploded formulation, value for
+    value (the DuckDB oracle also checks this; here it guards refactors
+    without the driver)."""
+    bits = 16
+    got = {r["doc_id"]: r["simhash"] for r in D.simhash(docs, bits=bits).collect()}
+    words = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split(F.col("text"), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    hashed = words.select("doc_id", D.porthash60(F.col("w")).alias("h"))
+    b = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    votes = (
+        hashed.select("doc_id", "h", b)
+        .groupBy("doc_id", "b")
+        .agg(F.sum(F.when(F.expr("shiftright(h, b) & 1") == 1, 1).otherwise(-1)).alias("v"))
+    )
+    exp = {
+        r["doc_id"]: r["simhash"]
+        for r in votes.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("v") > 0, F.expr("shiftleft(1L, b)")).otherwise(0))
+            .cast("long")
+            .alias("simhash")
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_minhash_distinct_skip_is_value_neutral(spark):
+    """Signatures over the raw (multiset) shingle stream equal signatures
+    over the distinct stream — including on documents that REPEAT their
+    shingles many times."""
+    rows = [
+        (1, "a b c a b c a b c a b c"),
+        (2, "x y z w x y z w"),
+        (3, "a b c d e f"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["seed"]): r["minhash"]
+        for r in D.minhash_signatures(docs, num_hashes=8).collect()
+    }
+    sh = D.word_shingles(docs, distinct=True)
+    a, b = D._shingle_ab(F.col("shingle"))
+    ab = sh.select("doc_id", a.alias("_a"), b.alias("_b"))
+    seeded = ab.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("seed"),
+        "_a",
+        "_b",
+    )
+    h = (F.col("_a") + F.col("seed") * F.col("_b")) % F.lit(D.MINHASH_P)
+    exp = {
+        (r["doc_id"], r["seed"]): r["minhash"]
+        for r in seeded.select("doc_id", "seed", h.alias("_h"))
+        .groupBy("doc_id", "seed")
+        .agg(F.min("_h").alias("minhash"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_minhash_band_plan_single_shuffle(docs):
+    """The band-key build must shuffle the shingle stream exactly once:
+    no distinct-induced extra Exchange before the signature aggregate."""
+    plan = (
+        D.minhash_band_keys(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # one Aggregate pair (partial+final collapse to one logical Aggregate)
+    # over the shingle rows; a distinct would add a second one keyed on
+    # (doc_id, shingle)
+    assert plan.count("Aggregate") == 1, plan

@@ -64,3 +64,24 @@ def test_sample_frames_row_explosion(media):
         exp = [(k, ms) for k, ms in enumerate(range(0, dur, 500))]
         assert got == exp
         assert all(len(r.frame_feat) == 4 for r in rows if r.media_id == mid)
+
+
+def test_block_means_fast_and_fallback_agree():
+    """The vectorized reshape-pool (divisible dims) and the linspace-grid
+    fallback must agree bit-for-bit where both apply — integer pixel sums
+    are exact in float64."""
+    from search_engine_spark.operators.multimodal import _block_means
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    fast = _block_means(img, 8)
+    ys = np.linspace(0, 48, 9, dtype=int)
+    xs = np.linspace(0, 64, 9, dtype=int)
+    slow = np.array(
+        [img[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean() for i in range(8) for j in range(8)],
+        np.float64,
+    )
+    assert np.array_equal(fast, slow)
+    # ragged shape exercises the fallback branch and stays finite
+    ragged = _block_means(rng.integers(0, 256, size=(50, 61, 3), dtype=np.uint8), 8)
+    assert ragged.shape == (64,) and np.isfinite(ragged).all()

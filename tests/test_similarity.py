@@ -48,3 +48,53 @@ def test_ivf_recall_reasonable(emb):
     true10 = {r["vec_id"] for r in SIM.cosine_topk(emb, 0, k=10).collect()}
     got10 = {r["vec_id"] for r in SIM.ivf_topk(emb, 0, k=10, n_probe=2).collect()}
     assert len(true10 & got10) >= 3
+
+
+def test_ivf_train_deterministic_and_moves(emb):
+    """Lloyd training is deterministic (fixed iterations, rounded means)
+    and actually moves the codebook off its seed."""
+    c1 = SIM.ivf_train_centroids(emb, n_centroids=8, n_iter=2)
+    c2 = SIM.ivf_train_centroids(emb, n_centroids=8, n_iter=2)
+    assert c1 == c2
+    seed = SIM.ivf_centroids(emb, n_centroids=8)
+    assert c1 != seed
+    # every component is exactly representable at IVF_ROUND_DP decimals
+    for c in c1:
+        for x in c:
+            assert abs(x - round(x, SIM.IVF_ROUND_DP)) == 0.0
+
+
+def test_ivf_trained_recall_curve(emb):
+    """recall@10 vs n_probe under the TRAINED codebook: probe sets are
+    nested (same rounded argmin metric), so recall is monotone in
+    n_probe, and probing all 8 lists is exact (= brute-force top-10)."""
+    cents = SIM.ivf_train_centroids(emb, n_centroids=8, n_iter=2)
+    true10 = {r["vec_id"] for r in SIM.cosine_topk(emb, 0, k=10).collect()}
+    recalls = []
+    for n_probe in (1, 2, 4, 8):
+        got = {
+            r["vec_id"]
+            for r in SIM.ivf_topk(
+                emb, 0, k=10, n_probe=n_probe, centroids=cents
+            ).collect()
+        }
+        recalls.append(len(true10 & got))
+    assert recalls == sorted(recalls), recalls  # monotone non-decreasing
+    assert recalls[-1] == len(true10)  # all lists probed == exact
+    assert recalls[1] >= 3  # 2-of-8 probes keep a meaningful fraction
+
+
+def test_ivf_trained_empty_cluster_fallback(spark):
+    """A seed centroid that wins no vectors keeps its previous position
+    (the engine's COALESCE rule) instead of collapsing to NULL."""
+    import numpy as np
+
+    rows = [(i, [float(i // 4) * 100.0, 0.0]) for i in range(8)]
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # seeds are vec_ids 0..3 -> all near (0,0) except none near (100,0)?
+    # vectors 0-3 at x=0, 4-7 at x=100; seeds 0..3 are all x=0, so after
+    # assignment every vector goes to centroid with lowest distance; at
+    # least one seed keeps winning nothing and must survive unchanged.
+    cents = SIM.ivf_train_centroids(emb2, n_centroids=4, n_iter=2)
+    assert len(cents) == 4
+    assert all(len(c) == 2 and all(np.isfinite(c)) for c in cents)

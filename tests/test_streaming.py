@@ -154,3 +154,20 @@ def test_windowed_event_stream_matches_batch(spark, sf_dir, tmp_root):
         gn, gs, gu = got[k]
         assert gn == n and abs(gs - s) < 1e-6
         assert abs(gu - u) <= max(1, 0.15 * u)  # approx_count_distinct
+
+
+def test_legacy_flat_doc_store_rejected(spark, sf_dir, tmp_root):
+    """A pre-generation (flat part files under documents/) index dir must
+    be rejected EAGERLY with a rebuild message — mixing flat files with
+    gen=N subdirectories breaks Spark partition discovery mid-read
+    (ADVICE r2)."""
+    from search_engine_spark.streaming.ingest import ingest_batch
+
+    legacy = os.path.join(tmp_root, "legacy_idx")
+    docs_dir = os.path.join(legacy, "documents")
+    os.makedirs(docs_dir, exist_ok=True)
+    with open(os.path.join(docs_dir, "part-00000-legacy.parquet"), "wb") as f:
+        f.write(b"PAR1")
+    batch = build_documents_from_testdata(spark, sf_dir).limit(5)
+    with pytest.raises(ValueError, match="legacy flat doc-store layout"):
+        ingest_batch(batch, 0, legacy, n_buckets=4, n_salts=2)
