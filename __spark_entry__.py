@@ -178,6 +178,35 @@ def _bm25_topk_q(query: str, k: int = 10, force_distributed: bool = False):
     return run
 
 
+def _tfidf_topk_q(query: str, k: int = 10, force_distributed: bool = False):
+    """Block-max-pruned disjunctive TF-IDF top-k (topk_wand) — pruning is
+    lossless, so it value-checks against the exhaustive SQL oracle
+    (sqlgen.tfidf_topk_sql). ``force_distributed`` drops the valve to 0,
+    running the executor-side plan against the SAME oracle."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import pandas as pd
+
+        from search_engine_spark.operators.wand import topk_wand
+
+        di = _disk_index(spark, sf_dir)
+        if force_distributed:
+            rows = topk_wand(di, query, k, max_driver_postings=0)
+        else:
+            rows = topk_wand(di, query, k)
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [d for d, _ in rows],
+                "score": [s for _, s in rows],
+            }
+        )
+        if not len(pdf):
+            return di.empty_result()
+        return _rounded_rank(spark.createDataFrame(pdf))
+
+    return run
+
+
 def _search_highlight_q(query: str, k: int = 10):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from search_engine_spark.functions.tokenizer import tokenize_query
@@ -300,6 +329,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dist_search_bm25_topk": _bm25_topk_q(
             "table spark", k=10, force_distributed=True
         ),
+        # disjunctive TF-IDF top-k (the score-ordered family's other
+        # scorer) through the driver block-max route and the forced
+        # executor-side plan — both against the same exhaustive SQL
+        "search_tfidf_topk": _tfidf_topk_q("table spark", k=10),
+        "dist_search_tfidf_topk": _tfidf_topk_q(
+            "table spark", k=10, force_distributed=True
+        ),
         # highlight/abstract enrichment (H1-H4) — full value oracle: the
         # interval-merge/window/abstract arithmetic is reproduced in DuckDB
         # SQL (sqlgen.search_highlight_sql); ranking feeds the kernel at
@@ -360,6 +396,8 @@ def oracle_sql() -> dict[str, str]:
         "seg_search_highlight": sqlgen.search_highlight_sql("table", 10),
         "search_bm25_topk": sqlgen.bm25_topk_sql("table spark", 10),
         "dist_search_bm25_topk": sqlgen.bm25_topk_sql("table spark", 10),
+        "search_tfidf_topk": sqlgen.tfidf_topk_sql("table spark", 10),
+        "dist_search_tfidf_topk": sqlgen.tfidf_topk_sql("table spark", 10),
         "dist_search_and": sqlgen.search_sql("table spark"),
         "dist_search_site": sqlgen.search_sql("table site:src3"),
         "dedup_exact": sqlgen.dedup_exact_sql(),

@@ -67,8 +67,11 @@ def main() -> None:
 
     def timed(name: str, fn, max_reps: int = 4, reset=None):
         # adaptive min: stop at the first pair of consecutive samples that
-        # agree within 30% (a quiet window); a steal storm inflates samples
-        # erratically, so agreement implies a clean measurement.
+        # agree within 30% (a quiet window) AND sit within 30% of the
+        # running best — a SUSTAINED steal storm produces consecutive
+        # samples that agree with each other while all being inflated
+        # (measured: two ~57 s samples of a 2 s query), so agreement alone
+        # is not evidence of a clean window.
         # ``reset`` (untimed) runs before EVERY rep — for index queries it
         # clears the DiskIndex LRUs so each sample is a COLD query; without
         # it, reps 2+ would hit segment/df caches and report warm-cache
@@ -81,7 +84,11 @@ def main() -> None:
             out = fn()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-            if prev is not None and abs(dt - prev) <= 0.3 * max(dt, prev):
+            if (
+                prev is not None
+                and abs(dt - prev) <= 0.3 * max(dt, prev)
+                and dt <= 1.3 * best
+            ):
                 break
             prev = dt
         timings[name] = round(best, 3)
@@ -175,11 +182,28 @@ def main() -> None:
     raw.count()
     emb = spark.read.parquet(f"{args.sf_dir}/embeddings.parquet").cache()
     emb.count()
-    timed("dedup_minhash", lambda: D.minhash_candidate_pairs(raw).collect())
-    timed("dedup_jaccard", lambda: D.ngram_jaccard_pairs(raw).collect())
-    timed("dedup_simhash", lambda: D.simhash(raw).collect())
+    # Plan warmup on a tiny slice before each timed op: the index builds
+    # above flood the C2 compile queue with generated classes, so the
+    # FIRST execution of each new whole-stage-codegen plan runs largely
+    # interpreted (measured: the shingle-explode stage 44 s cold vs 3 s
+    # once JIT'd, in the same JVM). Steady-state is the metric (a
+    # long-lived cluster doesn't re-JIT per job — same rationale as
+    # tools/scale_bench.py's warmup build); the warmup is outside the
+    # timed region.
+    small = raw.limit(50).cache()
+    small.count()
+    ops = [
+        ("dedup_minhash", lambda df=raw: D.minhash_candidate_pairs(df)),
+        ("dedup_jaccard", lambda df=raw: D.ngram_jaccard_pairs(df)),
+        ("dedup_simhash", lambda df=raw: D.simhash(df)),
+        ("text_quality", lambda df=raw: TS.quality_score(df)),
+    ]
+    for _name, op in ops:
+        op(small).collect()
+    SIM.cosine_topk(emb.limit(50), query_vec_id=0).collect()
+    for name, op in ops:
+        timed(name, lambda op=op: op(raw).collect())
     timed("embed_knn", lambda: SIM.cosine_topk(emb, query_vec_id=0).collect())
-    timed("text_quality", lambda: TS.quality_score(raw).collect())
 
     # --- streaming ingest throughput (informational, single rep: the
     # foreachBatch generations path over the same corpus in 4 arrivals) ---

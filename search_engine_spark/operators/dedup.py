@@ -27,7 +27,9 @@ API change log:
 - round 3: ``simhash`` plan rewritten explode-free (values unchanged);
   ``minhash_*`` skip the shingle ``distinct`` (min over a multiset equals
   min over its support, so values are unchanged and one full shuffle of
-  the shingle stream is removed).
+  the shingle stream is removed); ``minhash_signatures`` computes all
+  seeds as parallel aggregates and restores the (doc_id, seed) row shape
+  post-aggregate (values unchanged; shuffle rows /= num_hashes).
 """
 
 from __future__ import annotations
@@ -181,22 +183,31 @@ def minhash_signatures(
     hash (a + s*b) mod P — one md5 per shingle total, and a single groupBy
     (one shuffle) for all seeds at once. The shingle stream is NOT
     deduplicated first: MIN is multiset-insensitive, so the values are
-    identical and the distinct's extra shuffle is saved.
+    identical and the distinct's extra shuffle is saved. All seeds are
+    parallel MIN aggregates (band-keys plan shape); the (doc_id, seed)
+    row shape is restored by exploding a ``num_hashes``-element array
+    AFTER the aggregate — output-sized, so the shuffle moves |shingles|
+    rows, not |shingles|×K (the round-2 form exploded the seeds before
+    the groupBy).
     """
     sh = word_shingles(documents, n=n, text_col=text_col, id_col=id_col, distinct=False)
     a, b = _shingle_ab(F.col("shingle"))
     ab = sh.select("doc_id", a.alias("_a"), b.alias("_b"))
-    seeded = ab.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        "_a",
-        "_b",
+    aggs = [
+        F.min((F.col("_a") + F.lit(s) * F.col("_b")) % F.lit(MINHASH_P)).alias(f"_h{s}")
+        for s in range(num_hashes)
+    ]
+    sig = ab.groupBy("doc_id").agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("seed"), F.col(f"_h{s}").alias("minhash")
+            )
+            for s in range(num_hashes)
+        ]
     )
-    h = (F.col("_a") + F.col("seed") * F.col("_b")) % F.lit(MINHASH_P)
-    return (
-        seeded.select("doc_id", "seed", h.alias("_h"))
-        .groupBy("doc_id", "seed")
-        .agg(F.min("_h").alias("minhash"))
+    return sig.select("doc_id", F.explode(pairs).alias("_sm")).select(
+        "doc_id", F.col("_sm.seed").alias("seed"), F.col("_sm.minhash").alias("minhash")
     )
 
 

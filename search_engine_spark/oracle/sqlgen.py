@@ -322,6 +322,47 @@ FROM sc ORDER BY ROUND(score, 6) DESC, doc_id LIMIT {k}
 """.strip()
 
 
+def tfidf_topk_sql(query: str, k: int = 10) -> str:
+    """Disjunctive TF-IDF top-k oracle → (doc_id, score, rank).
+
+    Mirrors operators/wand.topk_wand / topk_exhaustive term-for-term:
+    S(d) = Σ_t (1+ln tf_t)·ln(N/df_t) over the query's distinct matched
+    terms, tf = combined title+body occurrence count (the reference's tf,
+    search.go:423), no phrase/title boosts (the score-ordered family's
+    ranking score). DuckDB's ``/`` on integers is float division, same
+    as the engine's ``math.log(n_docs / df)``.
+    """
+    from ..functions.tokenizer import bigram_split
+    from ..operators.search import parse_query as _pq
+
+    terms: list[str] = []
+    for kw in _pq(query).keywords:
+        for t, _ in bigram_split(kw):
+            if t not in terms:
+                terms.append(t)
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {POS_CTE},
+{NDOCS_CTE},
+{STATS_CTE},
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM pos
+  WHERE term IN ({inlist}) GROUP BY 1, 2
+),
+sc AS (
+  SELECT t.doc_id,
+         SUM((1.0 + ln(t.tf)) * ln(nd.n_docs / s.df)) AS score
+  FROM tf t
+  JOIN stats s USING (term)
+  CROSS JOIN nd
+  GROUP BY t.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, ROUND(score, 6) AS score,
+       ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id)::BIGINT AS rank
+FROM sc ORDER BY ROUND(score, 6) DESC, doc_id LIMIT {k}
+""".strip()
+
+
 def lexicon_sql() -> str:
     return """
 WITH runs AS (
