@@ -352,6 +352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_knn": lambda s, d: SIM.cosine_topk(_embeddings(s, d), query_vec_id=0),
         "embed_lsh_buckets": lambda s, d: SIM.lsh_buckets(_embeddings(s, d)),
         "embed_neardup": lambda s, d: SIM.embedding_neardup_pairs(_embeddings(s, d)),
+        # bucket-pruned approximate top-k (the partition-pruned scan path)
+        "embed_lsh_topk": lambda s, d: SIM.lsh_topk(_embeddings(s, d), query_vec_id=0),
         # IVF coarse-quantizer path (the second scale path next to LSH);
         # round-3: the codebook is Lloyd-TRAINED (2 deterministic
         # iterations, rounded means) and the oracle runs the same unrolled
@@ -407,6 +409,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_knn": sqlgen.embed_knn_sql(),
         "embed_lsh_buckets": sqlgen.embed_lsh_buckets_sql(),
         "embed_neardup": sqlgen.embed_neardup_sql(),
+        "embed_lsh_topk": sqlgen.embed_lsh_topk_sql(query_vec_id=0, k=10),
         "embed_ivf_assign": sqlgen.embed_ivf_assign_sql(),
         "embed_ivf_topk": sqlgen.embed_ivf_topk_sql(),
         "text_lang_id": sqlgen.lang_id_sql(),

@@ -511,6 +511,46 @@ def embed_lsh_buckets_sql(n_planes: int = 8, dim: int = 64) -> str:
     )
 
 
+def embed_lsh_topk_sql(
+    query_vec_id: int = 0, k: int = 10, n_planes: int = 8, dim: int = 64
+) -> str:
+    """LSH-pruned approximate top-k oracle: exact cosine among the vectors
+    sharing the query's hyperplane bucket (mirrors similarity.lsh_topk —
+    same deterministic ±1 planes as embed_lsh_buckets_sql)."""
+    from ..operators.similarity import hyperplane_signs
+
+    signs = hyperplane_signs(n_planes, dim)
+    bits = []
+    for i, row in enumerate(signs):
+        terms = " + ".join(
+            f"({float(s)} * embedding[{j + 1}]::DOUBLE)" for j, s in enumerate(row)
+        )
+        bits.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return f"""
+WITH b AS (SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings),
+qb AS (SELECT bucket FROM b WHERE vec_id = {query_vec_id}),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_vec_id}),
+cand AS (
+  SELECT b.vec_id, b.embedding FROM b JOIN qb USING (bucket)
+  WHERE b.vec_id <> {query_vec_id}
+),
+flat AS (
+  SELECT c.vec_id, unnest(c.embedding) AS x, unnest(q.qe) AS y
+  FROM cand c CROSS JOIN q
+),
+z AS (
+  SELECT vec_id,
+         SUM(x::DOUBLE * y::DOUBLE) AS dot,
+         SUM(x::DOUBLE * x::DOUBLE) AS na,
+         SUM(y::DOUBLE * y::DOUBLE) AS nb
+  FROM flat GROUP BY 1
+)
+SELECT vec_id::BIGINT AS vec_id, ROUND(dot / sqrt(na * nb), 6) AS cos_sim
+FROM z ORDER BY dot / sqrt(na * nb) DESC, vec_id LIMIT {k}
+""".strip()
+
+
 def embed_neardup_sql(
     threshold: float = 0.35, n_planes: int = 4, dim: int = 64
 ) -> str:

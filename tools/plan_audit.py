@@ -52,6 +52,19 @@ def main() -> None:
         E.hourly_event_stats(spark.read.parquet(f"{sf_dir}/events.parquet")),
     )
 
+    # round-3: the executor-side score-ordered plan and the explode-free
+    # dedup plans (PLANS.md "Round-3 additions")
+    from search_engine_spark.operators import dedup as D
+    from search_engine_spark.operators.wand import topk_scores_distributed
+
+    cap(
+        "distributed BM25 top-k (decode -> dl join -> sum -> TakeOrdered)",
+        topk_scores_distributed(di, "table spark", 10, "bm25"),
+    )
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cap("simhash (bit-sliced, 1 Generate)", D.simhash(raw))
+    cap("minhash band keys (1 shuffle, no distinct)", D.minhash_band_keys(raw))
+
 
 if __name__ == "__main__":
     main()
