@@ -177,7 +177,17 @@ def ingest_batch(
 
 def _write_gen_lexicon(spark: SparkSession, index_dir: str) -> None:
     """Global lexicon = per-term sum over generations (small: one row per
-    distinct term)."""
+    distinct term).
+
+    Scale note: this rescans every generation's segment METADATA columns
+    (term_id/bucket/df/ctf — parquet-pruned, blobs untouched) per batch,
+    so per-batch cost grows with the number of live generations, not with
+    index bytes. Compaction (``compact_index``) folds generations and
+    bounds that number — the standard LSM answer; with compaction every K
+    batches the rescan is O(compacted base + K gens) of metadata rows.
+    A replayed batch overwrites its own gen and the recompute stays
+    exactly-once (an incremental old⊕new merge would double-count
+    replays, which is why the full fold is the replay-safe choice)."""
     from ..operators.postings import _term_str
 
     seg_all = spark.read.option(
