@@ -19,6 +19,9 @@ is the Spark-idiomatic twin:
 - ``windowed_event_counts``: watermarked tumbling-window aggregation —
   the streaming twin of ``operators/events.hourly_event_stats`` (same
   output schema, late rows beyond the watermark dropped).
+- ``sessionize_stream``: custom stateful operator
+  (``applyInPandasWithState`` + event-time timeout) — the streaming twin
+  of ``operators/events.sessionize`` with O(active users) state.
 
 Exactly-once notes: foreachBatch gives at-least-once; the per-generation
 directory is keyed by ``batch_id``, so a replayed batch OVERWRITES its own
@@ -278,5 +281,104 @@ def windowed_event_counts(
             "n_events",
             "sum_value",
             "n_users",
+        )
+    )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_id long, session_start string, n_events long"
+)
+# open-session state per user: ordinal of the OPEN session, its start and
+# last-event micros, its event count
+SESSION_STATE_SCHEMA = "sid long, start_us long, last_us long, n long"
+
+
+def sessionize_stream(
+    events_stream: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stateful streaming sessionization — the custom-stateful-operator
+    twin of ``operators/events.sessionize`` (same output schema and the
+    same gap rule), built on ``applyInPandasWithState``.
+
+    State per ``user_id`` is ONE open session (ordinal, start, last-event
+    time, count). A batch's events for the user are folded in (ts,
+    event_id) order: an event whose gap from the open session's last
+    event exceeds ``gap_minutes`` EMITS the open session (append mode)
+    and opens the next; an event-time timeout (watermark passing
+    last_ts + gap) emits a session no further event can ever join —
+    late rows beyond the watermark are dropped by the engine, which is
+    exactly the invariant that makes the emitted session final.
+
+    Scale shape: state is O(active users) × one row; each micro-batch
+    shuffles only that batch's events on user_id. Session ordinals match
+    the batch operator's when arrivals are time-ordered per user (the
+    deterministic-replay case; out-of-order arrivals WITHIN the watermark
+    still sessionize correctly against the open session, but an event
+    older than an already-emitted session boundary cannot reopen it —
+    the streaming-vs-batch divergence every gap-sessionizer has).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        out = []
+
+        def emit(sid, start_us, n):
+            out.append(
+                (
+                    user_id,
+                    sid,
+                    pd.Timestamp(start_us, unit="us").strftime("%Y-%m-%d %H:%M:%S"),
+                    n,
+                )
+            )
+
+        if state.hasTimedOut:
+            sid, start_us, last_us, n = state.get
+            emit(sid, start_us, n)
+            # keep the ordinal so the NEXT session continues the count;
+            # n=0 marks "no open session"
+            state.update((sid, start_us, last_us, 0))
+        else:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows.sort_values(["ts", "event_id"])
+            ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()
+            if state.exists:
+                sid, start_us, last_us, n = state.get
+            else:
+                sid, start_us, last_us, n = 0, 0, 0, 0
+            for t in ts_us:
+                if n == 0:  # no open session
+                    sid, start_us, last_us, n = sid + 1, int(t), int(t), 1
+                elif t - last_us > gap_us:
+                    emit(sid, start_us, n)
+                    sid, start_us, last_us, n = sid + 1, int(t), int(t), 1
+                else:
+                    last_us, n = int(t), n + 1
+            state.update((sid, start_us, last_us, n))
+            if n > 0:
+                # close the open session once no in-watermark event can
+                # extend it (timeout timestamps are in ms)
+                state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_id", "session_start", "n_events"]
+        )
+
+    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            SESSION_OUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
         )
     )

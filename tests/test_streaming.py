@@ -171,3 +171,78 @@ def test_legacy_flat_doc_store_rejected(spark, sf_dir, tmp_root):
     batch = build_documents_from_testdata(spark, sf_dir).limit(5)
     with pytest.raises(ValueError, match="legacy flat doc-store layout"):
         ingest_batch(batch, 0, legacy, n_buckets=4, n_salts=2)
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, sf_dir, tmp_root):
+    """applyInPandasWithState sessionizer vs the batch gap rule.
+
+    Events arrive time-ordered in 3 files; every session CLOSED by a
+    successor session must be emitted, every emitted row must match the
+    batch semantics exactly (same ordinals, starts, counts), and the
+    pandas-derived oracle must itself agree with operators.events.
+    sessionize (tying stream == pandas == batch)."""
+    import pandas as pd
+
+    from search_engine_spark.operators.events import sessionize
+    from search_engine_spark.streaming.ingest import sessionize_stream
+
+    gap_min = 30
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["ts", "event_id"]
+    )
+    src = os.path.join(tmp_root, "sess_src")
+    os.makedirs(src, exist_ok=True)
+    for i, chunk in enumerate(
+        [pdf.iloc[: len(pdf) // 3], pdf.iloc[len(pdf) // 3 : 2 * len(pdf) // 3],
+         pdf.iloc[2 * len(pdf) // 3 :]]
+    ):
+        chunk.to_parquet(os.path.join(src, f"part-{i}.parquet"))
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        sessionize_stream(stream, gap_minutes=gap_min)
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(tmp_root, "sess_ck"))
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.user_id, r.session_id): (r.session_start, r.n_events)
+        for r in spark.sql("select * from sess_stream").collect()
+    }
+
+    # pandas oracle: gap rule per user over the full data
+    oracle: dict[tuple[int, int], tuple[str, int]] = {}
+    last_sid: dict[int, int] = {}
+    for uid, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        sid, start, last, n = 0, None, None, 0
+        for t in g["ts"]:
+            if start is None or (t - last).total_seconds() > gap_min * 60:
+                if start is not None:
+                    oracle[(uid, sid)] = (start.strftime("%Y-%m-%d %H:%M:%S"), n)
+                sid, start, last, n = sid + 1, t, t, 1
+            else:
+                last, n = t, n + 1
+        oracle[(uid, sid)] = (start.strftime("%Y-%m-%d %H:%M:%S"), n)
+        last_sid[uid] = sid
+
+    # the pandas oracle IS the batch operator's output
+    exp_batch = {
+        (r.user_id, r.session_id): (r.session_start, r.n_events)
+        for r in sessionize(batch, gap_minutes=gap_min).collect()
+    }
+    assert exp_batch == oracle
+
+    closed = {k for k in oracle if k[1] < last_sid[k[0]]}
+    assert len(closed) > 0
+    assert closed <= set(got)  # every successor-closed session emitted
+    assert set(got) <= set(oracle)  # nothing invented
+    for k in got:
+        assert got[k] == oracle[k], (k, got[k], oracle[k])
