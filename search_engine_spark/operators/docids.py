@@ -31,9 +31,12 @@ _PERSISTED: list[DataFrame] = []
 def release_assign_cache() -> None:
     """Unpersist every intermediate pinned by prior assign_doc_ids calls.
 
-    Safe once the assigned doc_ids have been written out (re-consuming an
-    old returned DataFrame afterwards recomputes instead of reading
-    cache — correct, just slower)."""
+    Safe once the assigned doc_ids have been written out. The ranked
+    intermediate is an eager localCheckpoint (lineage truncated), so
+    re-consuming an old returned DataFrame after release FAILS LOUDLY
+    (missing checkpoint blocks) instead of silently recomputing — a
+    recompute could re-sample different range boundaries and mis-assign
+    ids against the frozen offsets map (ADVICE r3)."""
     while _PERSISTED:
         _PERSISTED.pop().unpersist()
 
@@ -51,12 +54,13 @@ def assign_doc_ids(
     window. The input is persisted (memory-and-disk) so the range-sampling
     pass doesn't recompute an expensive upstream (corpus parse), and the
     sampled boundaries stay pinned (measured: 13.5 s → ~5 s at local[32]
-    for an 80k-doc corpus). The post-shuffle ranked intermediate is ALSO
-    persisted, so the input is touched by exactly TWO jobs — range
-    sampling and the shuffle/rank materialization (which the offsets
-    aggregate triggers); the final assignment join reads the persisted
+    for an 80k-doc corpus). The post-shuffle ranked intermediate is
+    frozen with an eager localCheckpoint, so the input is touched by
+    exactly TWO jobs — range sampling and the shuffle/rank
+    materialization; the final assignment reads the checkpointed
     intermediate instead of re-running the shuffle+window (was a third
-    full pass — the dominant fixed cost in the 2-vs-8-core scaling gap).
+    full pass — the dominant fixed cost in the 2-vs-8-core scaling gap),
+    and the frozen offsets map can never face a re-sampled layout.
     """
     key_cols = key_cols or DOC_KEY
     if scalable is None:
@@ -77,21 +81,24 @@ def assign_doc_ids(
     with_pid = sorted_df.withColumn("_pid", F.spark_partition_id())
     w_local = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in key_cols])
     local = with_pid.withColumn("_local_rn", F.row_number().over(w_local).cast("long"))
-    if persist_input:
-        from pyspark import StorageLevel as _SL
-
-        # persist the RANKED intermediate: the eager offsets aggregate
-        # below materializes it, and the final assignment expression then
-        # reads the cache instead of re-running shuffle+window. Tracked in
-        # _PERSISTED (release_assign_cache) instead of leaking for the app
-        # lifetime (ADVICE r2).
-        local = local.persist(_SL.MEMORY_AND_DISK)
-        _PERSISTED.append(local)
+    # Freeze the ranked intermediate with an EAGER localCheckpoint
+    # (memory-and-disk, lineage TRUNCATED) — not a mere persist: the
+    # offsets map below is collected from this materialization, and
+    # repartitionByRange's boundary sampling is not guaranteed to
+    # reproduce the same partition layout on a recompute (cache eviction,
+    # executor loss), so a frozen map over a recomputed _pid layout could
+    # silently mis-assign ids (ADVICE r3, medium). With the checkpoint,
+    # every downstream read either hits the materialized blocks or fails
+    # loudly — it can never re-sample. Applied in BOTH persist_input
+    # modes (the mismatch risk is a correctness issue, not a perf knob);
+    # tracked in _PERSISTED for release_assign_cache.
+    local = local.localCheckpoint(eager=True)
+    _PERSISTED.append(local)
     # Tiny aggregate (one row per partition), collected EAGERLY: the
     # per-partition counts become a literal exclusive-prefix-sum map, so
     # no join (broadcast or otherwise) remains in the returned plan — and
-    # the input persist can be dropped right here (the ranked cache now
-    # feeds everything downstream).
+    # the input persist can be dropped right here (the checkpointed
+    # intermediate now feeds everything downstream).
     counts = sorted(
         (r["_pid"], r["_cnt"])
         for r in local.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
@@ -103,15 +110,28 @@ def assign_doc_ids(
         acc += cnt
     if persist_input:
         # The input persist served its two jobs (range sampling + rank
-        # materialization, both above); the ranked cache feeds everything
-        # downstream, so drop the input pin right here. (It was never in
-        # _PERSISTED — only the ranked intermediate outlives the call.)
+        # materialization, both above); the checkpointed intermediate
+        # feeds everything downstream, so drop the input pin right here.
+        # (It was never in _PERSISTED — only the ranked intermediate
+        # outlives the call.)
         df.unpersist()
-    off_expr = F.element_at(
-        F.create_map(
-            *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
+    # element_at returns NULL for an unmapped _pid; the checkpoint makes
+    # that unreachable, but guard anyway — a NULL here would become a
+    # NULL/colliding doc_id downstream, the silent failure mode.
+    off_expr = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
+            ),
+            F.col("_pid"),
         ),
-        F.col("_pid"),
+        F.raise_error(
+            F.concat(
+                F.lit("assign_doc_ids: partition id "),
+                F.col("_pid").cast("string"),
+                F.lit(" missing from the frozen offsets map"),
+            )
+        ).cast("long"),
     ) if offsets else F.lit(0)
     out = (
         local.withColumn("doc_id", (off_expr + F.col("_local_rn")).cast("long"))

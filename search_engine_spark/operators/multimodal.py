@@ -238,6 +238,12 @@ def sample_frames(media: DataFrame, every_ms: int = 500, dim: int = 4) -> DataFr
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
                 b = np.frombuffer(payload, np.uint8)
+                if b.size < 64:
+                    # zero-pad sub-window payloads: offs is 0 for every
+                    # frame below, so each frame reads the whole (padded)
+                    # buffer — without this the fancy-index gather runs
+                    # past the buffer and raises IndexError (ADVICE r3)
+                    b = np.concatenate([b, np.zeros(64 - b.size, np.uint8)])
                 ms = np.arange(0, int(dur), every_ms, dtype=np.int64)
                 if ms.size == 0:
                     continue

@@ -715,8 +715,15 @@ class DiskIndex:
     def avgdl(self) -> float:
         if self.meta.avgdl > 0:
             return self.meta.avgdl
-        ids, dl = self.doc_lengths()
-        return float(dl.mean()) if dl.size else 0.0
+        if self._dl is not None:  # driver sidecar already resident — free
+            dl = self._dl[1]
+            return float(dl.mean()) if dl.size else 0.0
+        # pre-avgdl meta dirs: ONE scalar to the driver. The old fallback
+        # went through doc_lengths(), collecting the whole dl column —
+        # exactly the O(n_docs) driver cost the distributed scoring route
+        # exists to avoid (ADVICE r3).
+        row = self.doc_length_df().agg(F.avg("dl").alias("_a")).collect()[0]
+        return float(row["_a"] or 0.0)
 
     def empty_result(self) -> DataFrame:
         """Shared empty (doc_id, score, rank).

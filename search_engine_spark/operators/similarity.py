@@ -165,8 +165,13 @@ def lsh_topk(
         .filter(F.col("bucket") == F.col("_qb"))
         .select(F.col("vec_id").alias("_cid"))
     )
+    # NO broadcast hint on the candidate ids: one LSH bucket is
+    # data-dependent and unbounded (a near-duplicate-heavy corpus
+    # concentrates exactly there), so a forced broadcast has an 8 GB
+    # ceiling at scale. AQE picks broadcast when the bucket is small and
+    # falls back to a shuffle semi-join when it isn't (VERDICT r3 #4).
     cand = embeddings.join(
-        F.broadcast(cand_ids), F.col(id_col).cast("long") == F.col("_cid"), "left_semi"
+        cand_ids, F.col(id_col).cast("long") == F.col("_cid"), "left_semi"
     )
     return cosine_topk(cand, query_vec_id, k, vec_col, id_col)
 
@@ -339,7 +344,11 @@ def ivf_topk(
     cand_ids = assign.filter(F.col("centroid").isin(probes)).select(
         F.col("vec_id").alias("_cid")
     )
+    # no broadcast hint: n_probe IVF lists are data-dependent and can be
+    # arbitrarily large on a skewed assignment — AQE decides (VERDICT r3
+    # #4); with a centroid-partitioned layout this join disappears into a
+    # partition-pruned scan.
     cand = embeddings.join(
-        F.broadcast(cand_ids), F.col(id_col).cast("long") == F.col("_cid"), "left_semi"
+        cand_ids, F.col(id_col).cast("long") == F.col("_cid"), "left_semi"
     )
     return cosine_topk(cand, query_vec_id, k, vec_col, id_col)

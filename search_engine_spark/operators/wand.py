@@ -765,10 +765,15 @@ def topk_scores_distributed(
     else:
         scored = tf_rows
         contrib = (1.0 + F.log(tf)) * idf_col
+    # k-boundary ties are ordered by ROUND(score, 6) DESC, doc_id — the
+    # oracle's tie semantics — not by raw float: partial-agg order in the
+    # sum is nondeterministic, so raw scores can differ in the last ulp
+    # from the oracle's fixed-order fold, flipping which of two 6-dp-tied
+    # docs survives the LIMIT (ADVICE r3).
     return (
         scored.groupBy("doc_id")
         .agg(F.sum(contrib).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .orderBy(F.round(F.col("score"), 6).desc(), F.asc("doc_id"))
         .limit(k)
     )
 

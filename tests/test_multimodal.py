@@ -66,6 +66,35 @@ def test_sample_frames_row_explosion(media):
         assert all(len(r.frame_feat) == 4 for r in rows if r.media_id == mid)
 
 
+def test_sample_frames_short_payload(spark):
+    """Payloads shorter than the 64-byte frame window are zero-padded and
+    sampled (one full window at offset 0 per frame) — the fancy-index
+    gather must not run past the buffer (ADVICE r3)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1, 2],
+            "kind": ["video", "video"],
+            "payload": [b"\xff" * 10, b"\x00"],  # 10- and 1-byte buffers
+            "duration_ms": [1200, 600],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rows = sample_frames(df, every_ms=500).collect()
+    # 1200ms -> frames at 0/500/1000; 600ms -> 0/500
+    assert sorted((r.media_id, r.frame_ms) for r in rows) == [
+        (1, 0), (1, 500), (1, 1000), (2, 0), (2, 500),
+    ]
+    for r in rows:
+        assert len(r.frame_feat) == 4
+        assert all(np.isfinite(v) for v in r.frame_feat)
+    # media 1: 10 bytes of 0xff then 54 zero bytes -> first 16-byte block
+    # mean is (10*255)/16, the rest 0
+    f1 = next(r.frame_feat for r in rows if r.media_id == 1)
+    assert f1 == [10 * 255 / 16.0, 0.0, 0.0, 0.0]
+
+
 def test_block_means_fast_and_fallback_agree():
     """The vectorized reshape-pool (divisible dims) and the linspace-grid
     fallback must agree bit-for-bit where both apply — integer pixel sums
