@@ -637,6 +637,19 @@ class LruCache:
             self._d.popitem(last=False)
 
 
+def _lexicon_dir(index_dir: str) -> str:
+    """Resolve the live lexicon directory. Streaming indexes publish
+    snapshot-safe versioned dirs (``lexicon_v<N>``) behind an atomically
+    flipped ``LEXICON`` pointer file (``streaming.ingest.
+    _write_gen_lexicon``); batch ``write_index`` dirs keep the flat
+    ``lexicon`` layout (single writer, written once)."""
+    ptr = os.path.join(index_dir, "LEXICON")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            return os.path.join(index_dir, f.read().strip())
+    return os.path.join(index_dir, "lexicon")
+
+
 @dataclass
 class DiskIndex:
     """Handle to a persisted index. DataFrame handles are created once
@@ -653,7 +666,7 @@ class DiskIndex:
         if "gen" in docs.columns:  # streaming doc store: generation-keyed dirs
             docs = docs.drop("gen")
         self._documents = docs
-        self._lexicon = self.spark.read.parquet(os.path.join(self.index_dir, "lexicon"))
+        self._lexicon = self.spark.read.parquet(_lexicon_dir(self.index_dir))
         self._segments = self.spark.read.option(
             "basePath", os.path.join(self.index_dir, "segments")
         ).parquet(os.path.join(self.index_dir, "segments"))
