@@ -259,25 +259,100 @@ def minhash_candidate_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: (doc_a, doc_b, n_bands) — docs sharing >=1 band.
 
-    The join key (band, band_hash) is high-cardinality and uniform, so the
-    shuffle is skew-free even at web scale (identical docs all land in one
-    bucket, which is exactly the work that must be done).
+    Skew-bounded plan (VERDICT r3 next-round #8). The naive form
+    self-joins the band keys of EVERY doc: identical docs collide in
+    every band, so a corpus with an m-sized exact-duplicate cluster puts
+    m rows in one (band, band_hash) bucket and the single shuffle
+    partition holding it does m² × n_bands work. Instead:
+
+    1. **Exact-dedup first.** Docs are grouped by md5(text); band keys
+       are computed for one representative per distinct text (identical
+       texts ⇒ identical shingles ⇒ identical signatures). The band
+       self-join then runs on representatives only — an exact-duplicate
+       cluster contributes ONE row per band, not m.
+    2. **Expansion back to doc pairs** is two joins on the group key
+       plus the intra-group all-pairs (which share all ``n_bands`` bands
+       by construction, gated on the group actually having >=1 shingle).
+       This work is proportional to the OUTPUT pair count — irreducible,
+       and unlike the naive join it is not multiplied by n_bands and not
+       concentrated in the band-bucket shuffle.
+    3. ``max_band_df`` (optional) drops representative-level band buckets
+       with more than that many DISTINCT texts — the mirror of
+       ``max_shingle_df``: a bucket where d distinct near-miss texts
+       collide costs d² verification pairs; the cap bounds it. Exact
+       duplicates are unaffected (they were folded in step 1), which is
+       why the cap composes with exact-first instead of silently dropping
+       true duplicates. None (default) = no cap, output identical to the
+       naive plan.
+
+    Output is row-identical to the naive self-join for max_band_df=None:
+    intra-group pairs carry n_bands = num_hashes//band_size, inter-group
+    pairs inherit the representatives' shared-band count.
     """
-    bk = minhash_band_keys(documents, num_hashes, band_size, n, text_col, id_col)
+    docs = documents.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+    members = docs.select(
+        "doc_id", F.md5(F.col("text")).alias("_g")
+    )
+    reps = members.groupBy("_g").agg(F.min("doc_id").alias("rep"))
+    rep_docs = docs.join(
+        reps.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
+    )
+    bk = minhash_band_keys(rep_docs, num_hashes, band_size, n, "text", "doc_id")
+    # the >=1-shingle gate for intra-group pairs comes from the PRE-cap
+    # band keys: the cap must never drop exact-duplicate pairs
+    reps_with_bands = bk.select(F.col("doc_id").alias("rep")).distinct()
+    if max_band_df is not None:
+        hot = (
+            bk.groupBy("band", "band_hash")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_band_df)
+            .select("band", "band_hash")
+        )
+        bk = bk.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
     a, b = bk.alias("a"), bk.alias("b")
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(F.col("a.doc_id").alias("_ra"), F.col("b.doc_id").alias("_rb"))
         .agg(F.count("*").alias("n_bands"))
     )
+    mem = members.join(reps, "_g").select("doc_id", "rep")
+    inter = (
+        rep_pairs.join(mem.select(F.col("rep").alias("_ra"), F.col("doc_id").alias("_da")), "_ra")
+        .join(mem.select(F.col("rep").alias("_rb"), F.col("doc_id").alias("_db")), "_rb")
+        .select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+            "n_bands",
+        )
+    )
+    # intra-group: every pair of identical texts shares ALL bands — but
+    # only if the text produced >=1 shingle (short texts have no bands)
+    gm = mem.join(reps_with_bands, "rep")
+    ga, gb = gm.alias("ga"), gm.alias("gb")
+    intra = (
+        ga.join(
+            gb,
+            (F.col("ga.rep") == F.col("gb.rep"))
+            & (F.col("ga.doc_id") < F.col("gb.doc_id")),
+        )
+        .select(
+            F.col("ga.doc_id").alias("doc_a"),
+            F.col("gb.doc_id").alias("doc_b"),
+            F.lit(num_hashes // band_size).cast("long").alias("n_bands"),
+        )
+    )
+    return inter.unionByName(intra)
 
 
 def simhash(

@@ -430,10 +430,16 @@ WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
 """.strip()
 
 
-def dedup_minhash_sql(num_hashes: int = 16, band_size: int = 4) -> str:
+def dedup_minhash_sql(
+    num_hashes: int = 16, band_size: int = 4, max_band_df: int | None = None
+) -> str:
     # Same seeded-hash family as operators/dedup.py: one md5 per shingle
     # split into two 28-bit ints, hash_s = (a + s*b) mod (2^31 - 1).
-    return f"""
+    # The Spark plan exact-dedups texts before the band join (skew guard);
+    # for max_band_df=None the output is row-identical to this direct
+    # self-join, so the uncapped oracle keeps the simpler form.
+    if max_band_df is None:
+        return f"""
 WITH {SHINGLE_CTES},
 ab AS (
   SELECT doc_id,
@@ -454,6 +460,60 @@ bands AS (
 SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b, COUNT(*)::BIGINT AS n_bands
 FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 GROUP BY 1, 2
+""".strip()
+    # capped mirror of the exact-first plan: band buckets with more than
+    # max_band_df DISTINCT texts are dropped at the representative level;
+    # exact-duplicate (intra-group) pairs are kept regardless
+    return f"""
+WITH grp AS (SELECT doc_id, md5(text) AS g FROM documents),
+reps AS (SELECT g, MIN(doc_id) AS rep FROM grp GROUP BY g),
+mem AS (SELECT grp.doc_id, reps.rep FROM grp JOIN reps ON grp.g = reps.g),
+rdocs AS (
+  SELECT r.rep AS doc_id, d.text FROM reps r JOIN documents d ON d.doc_id = r.rep
+),
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM rdocs),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM words, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) gen
+),
+ab AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(shingle), 1, 7))::BIGINT AS a,
+         ('0x' || substring(md5(shingle), 8, 7))::BIGINT AS b
+  FROM sh
+),
+mh AS (
+  SELECT doc_id, s, MIN((a + s * b) % 2147483647) AS h
+  FROM ab CROSS JOIN (SELECT unnest(range(0, {num_hashes})) AS s) seeds
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, (s // {band_size})::INT AS band,
+         md5(string_agg(h::VARCHAR, ',' ORDER BY s)) AS bh
+  FROM mh GROUP BY doc_id, (s // {band_size})::INT
+),
+kept AS (
+  SELECT * FROM bands QUALIFY COUNT(*) OVER (PARTITION BY band, bh) <= {max_band_df}
+),
+rep_pairs AS (
+  SELECT a.doc_id AS ra, b.doc_id AS rb, COUNT(*) AS nb
+  FROM kept a JOIN kept b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+inter AS (
+  SELECT LEAST(ma.doc_id, mb.doc_id) AS doc_a,
+         GREATEST(ma.doc_id, mb.doc_id) AS doc_b, p.nb AS n_bands
+  FROM rep_pairs p JOIN mem ma ON ma.rep = p.ra JOIN mem mb ON mb.rep = p.rb
+),
+rwb AS (SELECT DISTINCT doc_id AS rep FROM bands),
+intra AS (
+  SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b,
+         {num_hashes // band_size} AS n_bands
+  FROM mem ga JOIN mem gb ON ga.rep = gb.rep AND ga.doc_id < gb.doc_id
+  JOIN rwb ON rwb.rep = ga.rep
+)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b, n_bands::BIGINT AS n_bands
+FROM (SELECT * FROM inter UNION ALL SELECT * FROM intra)
 """.strip()
 
 

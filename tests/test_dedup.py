@@ -109,3 +109,89 @@ def test_minhash_band_plan_single_shuffle(docs):
     # over the shingle rows; a distinct would add a second one keyed on
     # (doc_id, shingle)
     assert plan.count("Aggregate") == 1, plan
+
+
+# ---- banded-join skew guard (VERDICT r3 next-round #8) -------------------
+
+
+@pytest.fixture(scope="module")
+def skewed_docs(spark):
+    """Pathological duplicate cluster: 40 byte-identical docs (the case
+    that makes the naive band self-join quadratic in ONE bucket), plus a
+    near-miss family, unrelated docs, and a zero-shingle doc."""
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, dup) for i in range(40)]
+    for i in range(40, 48):
+        rows.append((i, f"the quick brown fox jumps over the lazy cat number {i}"))
+    for i in range(5):
+        rows.append((100 + i, f"unrelated block {i} carrying words {i * 7} and {i * 13}"))
+    rows.append((200, "tiny"))  # < 3 words: no shingles, no bands, no pairs
+    d = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    d.count()
+    return d
+
+
+def _pairs(df):
+    return {(r["doc_a"], r["doc_b"]): r["n_bands"] for r in df.collect()}
+
+
+def test_minhash_exact_first_matches_naive_join(skewed_docs):
+    """The exact-dedup-first plan (uncapped) is row-identical to the
+    naive band self-join it replaced — including on a corpus dominated
+    by one exact-duplicate cluster."""
+    got = _pairs(D.minhash_candidate_pairs(skewed_docs))
+    bk = D.minhash_band_keys(skewed_docs)
+    a, b = bk.alias("a"), bk.alias("b")
+    naive = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands"))
+    )
+    assert got == _pairs(naive)
+
+
+def test_minhash_band_cap_keeps_exact_duplicates(skewed_docs):
+    """max_band_df=0 drops EVERY representative-level band bucket — the
+    harshest cap — yet all exact-duplicate pairs survive with the full
+    band count, because they are folded before the cap, not joined
+    through it."""
+    got = _pairs(D.minhash_candidate_pairs(skewed_docs, max_band_df=0))
+    expected = {
+        (a, b): 4 for a in range(40) for b in range(40) if a < b
+    }  # 16 hashes // band_size 4 = 4 bands
+    assert got == expected
+
+
+def test_minhash_band_cap_is_subset_plus_intra(skewed_docs):
+    """Capped output = all intra (exact-dup) pairs + a subset of the
+    uncapped inter pairs, with unchanged n_bands on survivors."""
+    uncapped = _pairs(D.minhash_candidate_pairs(skewed_docs))
+    capped = _pairs(D.minhash_candidate_pairs(skewed_docs, max_band_df=1))
+    intra = {(a, b) for a in range(40) for b in range(40) if a < b}
+    assert intra <= set(capped)
+    assert set(capped) <= set(uncapped)
+    for k, v in capped.items():
+        assert uncapped[k] == v, k
+
+
+def test_minhash_band_cap_matches_sql_oracle(spark, skewed_docs):
+    """The capped Spark plan value-matches the capped DuckDB mirror
+    (sqlgen.dedup_minhash_sql with max_band_df) on the pathological
+    corpus."""
+    import duckdb
+
+    from search_engine_spark.oracle import sqlgen
+
+    pdf = skewed_docs.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    for cap in (0, 1, 3):
+        res = con.execute(sqlgen.dedup_minhash_sql(max_band_df=cap))
+        exp = {(r[0], r[1]): r[2] for r in res.fetchall()}
+        got = _pairs(D.minhash_candidate_pairs(skewed_docs, max_band_df=cap))
+        assert got == exp, cap
