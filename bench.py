@@ -5,15 +5,27 @@ Prints ONE JSON line:
    "queries": {"q1": sec, ...}, "sf": ...}
 
 Extra keys (informational): docs_per_sec for the index build, n_docs,
-noise_probe (pure-Python spin rate, Mop/s — this host shows up-to-3x
-CPU-steal swings; see BASELINE.md host-noise protocol).
+query_p50_ms / query_p95_ms / per_query_p50_ms (the FIXTURES.md §4
+reference query set, warm serving latency — same workload as
+tools/scale_bench.py), and the self-certification block below.
+
+**Self-certifying timings** (round-3 verdict #1): this host shows
+multi-second CPU-steal storms (spin rate 5.8-18.9 Mop/s on identical
+code — BASELINE.md host-noise protocol), so a recorded number without
+evidence of a clean window is meaningless. Every timed rep is now
+bracketed by a pure-Python spin probe; the JSON embeds per-entry
+``entries[name] = {secs, reps, probes, probe_min, healthy}`` where
+``healthy`` means the winning rep's probes sit inside the documented
+healthy band (>= --healthy-mops, default 11 Mop/s). ``unhealthy`` lists
+entries whose best rep never landed in a clean window — those numbers
+are upper bounds, not measurements. Reps continue (max 4-6) until a
+stable pair lands with healthy probes.
 
 Every timed entry is an adaptive min-of-N (stop when two consecutive
-samples agree within 30%, max 4): the host's CPU steal arrives in
-multi-second storms, so a single sample can be 10-50x off (same protocol
-as tools/scale_bench.py). Index queries are reported twice: ``q_*`` =
-COLD (DiskIndex LRUs cleared before every rep) and ``q_*_warm`` = cached
-steady-state serving latency (ADVICE r2 — prior rounds mixed the two).
+samples agree within 30% of each other and of the running best, AND the
+best rep is probe-certified). Index queries are reported twice: ``q_*``
+= COLD (DiskIndex LRUs cleared before every rep) and ``q_*_warm`` =
+cached steady-state serving latency (ADVICE r2).
 
 Run: python bench.py  [--sf-dir DIR] [--cpus N]
 """
@@ -33,6 +45,20 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument(
+        "--healthy-mops",
+        type=float,
+        default=float(os.environ.get("SPARK_GRAFT_HEALTHY_MOPS", "11.0")),
+        help="spin-probe floor (Mop/s) below which a window counts as "
+        "steal-degraded (BASELINE.md: healthy ~12-17 on this host)",
+    )
+    ap.add_argument(
+        "--p50-docs",
+        type=int,
+        default=int(os.environ.get("SPARK_GRAFT_P50_DOCS", "40000")),
+        help="synthetic-corpus size for the FIXTURES p50/p95 block "
+        "(matches tools/scale_bench.py's default)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -55,8 +81,9 @@ def main() -> None:
     )
     sf = args.sf_dir.rstrip("/").split("sf")[-1]
     timings: dict[str, float] = {}
+    entries: dict[str, dict] = {}  # per-entry self-certification block
 
-    def spin_probe(n: int = 2_000_000) -> float:
+    def spin_probe(n: int = 1_000_000) -> float:
         t0 = time.time()
         x = 0
         for i in range(n):
@@ -65,33 +92,53 @@ def main() -> None:
 
     probe_before = spin_probe()
 
-    def timed(name: str, fn, max_reps: int = 4, reset=None):
-        # adaptive min: stop at the first pair of consecutive samples that
-        # agree within 30% (a quiet window) AND sit within 30% of the
-        # running best — a SUSTAINED steal storm produces consecutive
-        # samples that agree with each other while all being inflated
-        # (measured: two ~57 s samples of a 2 s query), so agreement alone
-        # is not evidence of a clean window.
+    def timed(name: str, fn, max_reps: int = 4, reset=None, min_reps: int = 2):
+        # adaptive min with per-rep probe certification (verdict r3 #1):
+        # every rep is bracketed by spin probes; the stop rule requires a
+        # stable consecutive pair (within 30% of each other AND of the
+        # running best) PLUS healthy probes on the winning rep — a
+        # SUSTAINED steal storm produces consecutive samples that agree
+        # with each other while all being inflated (measured: two ~57 s
+        # samples of a 2 s query), and the probes are what expose it.
         # ``reset`` (untimed) runs before EVERY rep — for index queries it
         # clears the DiskIndex LRUs so each sample is a COLD query; without
         # it, reps 2+ would hit segment/df caches and report warm-cache
         # latencies as if they were cold (ADVICE r2).
-        best, prev, out = None, None, None
-        for _ in range(max_reps):
+        best, best_i, prev, out = None, -1, None, None
+        reps: list[float] = []
+        probes: list[list[float]] = []
+        for i in range(max_reps):
             if reset is not None:
                 reset()
+            pb = spin_probe()
             t0 = time.time()
             out = fn()
             dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-            if (
+            pa = spin_probe()
+            reps.append(round(dt, 3))
+            probes.append([pb, pa])
+            if best is None or dt < best:
+                best, best_i = dt, i
+            best_healthy = min(probes[best_i]) >= args.healthy_mops
+            stable_pair = (
                 prev is not None
                 and abs(dt - prev) <= 0.3 * max(dt, prev)
                 and dt <= 1.3 * best
-            ):
+            )
+            # min_reps=1: one probe-certified rep suffices (used for the
+            # expensive streaming build, where min-of-2 costs 30+ s and a
+            # healthy bracket already certifies the window)
+            if best_healthy and (stable_pair or (min_reps == 1 and i + 1 >= min_reps)):
                 break
             prev = dt
         timings[name] = round(best, 3)
+        entries[name] = {
+            "secs": round(best, 3),
+            "reps": reps,
+            "probes": probes,
+            "probe_min": min(probes[best_i]),
+            "healthy": min(probes[best_i]) >= args.healthy_mops,
+        }
         return out
 
     # --- index build: the full persisted product (tokenize -> map-side
@@ -104,11 +151,25 @@ def main() -> None:
 
     docs = build_documents_from_testdata(spark, args.sf_dir).cache()
     n_docs = docs.count()
-    build_secs = []
-    index_dir = None
-    for rep in range(2):  # min-of-2, fresh dir each (manifest resume would
-        d = tempfile.mkdtemp(prefix="bench_index_") + "/idx"  # skip shards)
-        t0 = time.time()
+
+    # JIT warmup: a miniature build compiles the codegen stages and spins
+    # up the Python worker pool before the timed reps — sustained
+    # throughput is the metric (a long-lived cluster doesn't re-JIT per
+    # job; same rationale as tools/scale_bench.py's warmup build, and the
+    # measured cause of the r3 30.8 s artifact: first-plan execution runs
+    # largely interpreted while the C2 compile queue drains).
+    warm_d = tempfile.mkdtemp(prefix="bench_warm_") + "/idx"
+    write_index(docs.limit(500), warm_d, n_buckets=32, n_shards=1,
+                n_salts=4, salt_threshold=max(n_docs // 8, 100),
+                collect_stats=False)
+    shutil.rmtree(os.path.dirname(warm_d), ignore_errors=True)
+
+    build_dirs: list[str] = []
+
+    def build_once():
+        # fresh dir each rep (manifest resume would skip shards)
+        d = tempfile.mkdtemp(prefix="bench_index_") + "/idx"
+        build_dirs.append(d)
         write_index(
             docs,
             d,
@@ -118,13 +179,12 @@ def main() -> None:
             salt_threshold=max(n_docs // 8, 100),
             collect_stats=False,
         )
-        build_secs.append(time.time() - t0)
-        if index_dir is None:
-            index_dir = d
-        else:
-            shutil.rmtree(os.path.dirname(d), ignore_errors=True)
-    build_sec = min(build_secs)
-    timings["index_build"] = round(build_sec, 3)
+
+    timed("index_build", build_once, max_reps=4)
+    build_sec = timings["index_build"]
+    index_dir = build_dirs[0]
+    for d in build_dirs[1:]:
+        shutil.rmtree(os.path.dirname(d), ignore_errors=True)
     di = load_index(spark, index_dir)
 
     # in-memory logical index (DataFrame query path, for comparison)
@@ -171,6 +231,56 @@ def main() -> None:
     )
     timed("q_df_single", lambda: search(index, "table").collect())
 
+    # --- FIXTURES.md §4 query latency percentiles (verdict r3 #7) -------
+    # Same workload as tools/scale_bench.py (REFERENCE_QUERY_SET over the
+    # synthetic source-code corpus, warm serving latency), so the p50 that
+    # BASELINE.md's scaling tables report in prose is machine-readable
+    # here next to the build number.
+    import statistics
+
+    from search_engine_spark.corpus import REFERENCE_QUERY_SET, generate_corpus
+    from search_engine_spark.operators.postings import build_documents_from_corpus
+
+    fx_root = tempfile.mkdtemp(prefix="bench_fixtures_")
+    fx_docs_dir = fx_root + "/documents"
+    build_documents_from_corpus(
+        generate_corpus(spark, args.p50_docs, n_partitions=128)
+    ).write.parquet(fx_docs_dir)
+    fx_idx = fx_root + "/idx"
+    write_index(
+        spark.read.parquet(fx_docs_dir),
+        fx_idx,
+        n_buckets=128,
+        n_shards=1,
+        n_salts=8,
+        salt_threshold=max(args.p50_docs // 8, 1000),
+        collect_stats=False,
+    )
+    fx_di = load_index(spark, fx_idx)
+    p50_probe_before = spin_probe()
+    for _, q in REFERENCE_QUERY_SET:  # warmup (JIT + parquet footer cache)
+        search_segments(fx_di, q).collect()
+    lat: dict[str, list[float]] = {qid: [] for qid, _ in REFERENCE_QUERY_SET}
+    for _ in range(7):
+        for qid, q in REFERENCE_QUERY_SET:
+            t1 = time.time()
+            search_segments(fx_di, q).collect()
+            lat[qid].append((time.time() - t1) * 1000)
+    p50_probe_after = spin_probe()
+    all_lat = [v for vs in lat.values() for v in vs]
+    query_p50_ms = round(statistics.median(all_lat), 2)
+    query_p95_ms = round(sorted(all_lat)[int(len(all_lat) * 0.95)], 2)
+    per_query_p50_ms = {
+        qid: round(statistics.median(vs), 2) for qid, vs in lat.items()
+    }
+    entries["fixtures_query_block"] = {
+        "secs": None,
+        "probes": [[p50_probe_before, p50_probe_after]],
+        "probe_min": min(p50_probe_before, p50_probe_after),
+        "healthy": min(p50_probe_before, p50_probe_after) >= args.healthy_mops,
+    }
+    shutil.rmtree(fx_root, ignore_errors=True)
+
     # --- training-data ops ----------------------------------------------------
     # repartition: the single-file local parquet otherwise pins every
     # narrow stage (shingle explode, token hash) to ONE core
@@ -216,14 +326,22 @@ def main() -> None:
     sroot = tempfile.mkdtemp(prefix="bench_stream_")
     arrivals = os.path.join(sroot, "arrivals")
     docs.repartition(4).write.parquet(arrivals)
-    sdir = os.path.join(sroot, "idx")
-    t0 = time.time()
-    q = start_incremental_index(
-        stream_documents(spark, arrivals), sdir, n_buckets=16, n_salts=2
-    )
-    q.awaitTermination(600)
-    timings["streaming_index_build"] = round(time.time() - t0, 3)
-    _ss(load_index(spark, sdir), "table").collect()  # searchable check
+    sdirs: list[str] = []
+
+    def stream_once():
+        # fresh index + checkpoint dir per rep (re-using one would let the
+        # checkpoint mark every arrival already-processed)
+        sdir = tempfile.mkdtemp(prefix="bench_stream_idx_", dir=sroot) + "/idx"
+        sdirs.append(sdir)
+        q = start_incremental_index(
+            stream_documents(spark, arrivals), sdir, n_buckets=16, n_salts=2
+        )
+        q.awaitTermination(600)
+
+    # min_reps=1: a single probe-certified rep suffices; retries happen
+    # only when the bracket shows a degraded window (up to 3)
+    timed("streaming_index_build", stream_once, max_reps=3, min_reps=1)
+    _ss(load_index(spark, sdirs[-1]), "table").collect()  # searchable check
     shutil.rmtree(sroot, ignore_errors=True)
 
     shutil.rmtree(os.path.dirname(index_dir), ignore_errors=True)
@@ -240,8 +358,17 @@ def main() -> None:
                 "n_postings": n_postings,
                 "docs_per_sec": round(n_docs / build_sec, 1),
                 "cpus": int(args.cpus),
-                "timing_protocol": "adaptive_min_stable_pair_max4",
+                "timing_protocol": "adaptive_min_probe_certified",
                 "noise_probe_mops": [probe_before, spin_probe()],
+                "healthy_band_mops": args.healthy_mops,
+                "unhealthy": sorted(
+                    k for k, v in entries.items() if not v["healthy"]
+                ),
+                "entries": entries,
+                "query_p50_ms": query_p50_ms,
+                "query_p95_ms": query_p95_ms,
+                "per_query_p50_ms": per_query_p50_ms,
+                "p50_corpus_docs": args.p50_docs,
             }
         )
     )

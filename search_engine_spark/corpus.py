@@ -90,3 +90,23 @@ def generate_corpus(spark: SparkSession, n_docs: int, n_partitions: int = 8) -> 
         gen, schema="repo string, path string, commit string, lang string, content string"
     )
     return df.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+
+
+# FIXTURES.md §4 reference query set (rank-identity corpus). q09/q12 are
+# empty-result probes; kept — latency includes the early-exit path, as the
+# reference's API would measure it. Shared by tools/scale_bench.py and
+# bench.py so the published p50/p95 always describe the same workload.
+REFERENCE_QUERY_SET = [
+    ("q01", "hello"),
+    ("q02", "world"),
+    ("q03", "你好世界"),
+    ("q04", "hello world"),
+    ("q05", "hello -world"),
+    ("q06", "hello site:org1"),
+    ("q07", "abcdef"),
+    ("q08", "ABCdef"),
+    ("q09", "z"),
+    ("q10", "qqqq"),
+    ("q11", "in"),
+    ("q12", ""),
+]

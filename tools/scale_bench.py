@@ -31,22 +31,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# FIXTURES.md §4 (q09/q12 are empty-result probes; kept — latency includes
-# the early-exit path, as the reference's API would measure it)
-QUERY_SET = [
-    ("q01", "hello"),
-    ("q02", "world"),
-    ("q03", "你好世界"),
-    ("q04", "hello world"),
-    ("q05", "hello -world"),
-    ("q06", "hello site:org1"),
-    ("q07", "abcdef"),
-    ("q08", "ABCdef"),
-    ("q09", "z"),
-    ("q10", "qqqq"),
-    ("q11", "in"),
-    ("q12", ""),
-]
+# FIXTURES.md §4 — single definition shared with bench.py so both artifacts
+# describe the same workload.
+from search_engine_spark.corpus import REFERENCE_QUERY_SET as QUERY_SET  # noqa: E402
 
 
 def _noise_probe(duration: float = 0.5) -> float:
