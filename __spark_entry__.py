@@ -137,6 +137,20 @@ def _corpus_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.crossJoin(b)
 
 
+def _index_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 monitor stats (reference /monitor, index/api/api.go:31-40):
+    gauges served from index metadata only (meta.json + manifest.jsonl +
+    lexicon + dl sidecar — no posting blob touched); the oracle recounts
+    every one of them from the raw documents table. Projected to the
+    corpus-derivable columns; layout/codec gauges (blob_bytes, avgdl,
+    shards_complete) are pinned by tests/test_segments.py instead."""
+    from search_engine_spark.operators.segments import index_stats
+
+    return index_stats(_disk_index(spark, sf_dir)).select(
+        "n_docs", "n_terms", "n_postings", "total_ctf", "max_df", "total_dl"
+    )
+
+
 def _postings_term_q(term: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = _index(spark, sf_dir)
@@ -301,6 +315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- fulltext index + query core (SURVEY §2.3-2.8) -----------------
         "lexicon": _lexicon_q,
         "corpus_stats": _corpus_stats_q,
+        # A7 monitor: same gauges, but served from the written index's
+        # control-plane metadata (manifest/meta/lexicon) — the /monitor path
+        "index_stats": _index_stats_q,
         "postings_ta": _postings_term_q("ta"),
         "search_table": _search_q("table"),
         "search_and": _search_q("table spark"),
@@ -381,6 +398,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "lexicon": sqlgen.lexicon_sql(),
         "corpus_stats": sqlgen.corpus_stats_sql(),
+        "index_stats": sqlgen.index_stats_sql(),
         "postings_ta": sqlgen.postings_term_sql("ta"),
         "search_table": sqlgen.search_sql("table"),
         "search_and": sqlgen.search_sql("table spark"),

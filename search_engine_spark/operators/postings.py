@@ -43,8 +43,13 @@ def build_documents_from_corpus(corpus: DataFrame) -> DataFrame:
     dropped, parser.go:26-28); non-HTML source files keep their raw content
     as body with an empty title (the reference only ever ingests HTML; this
     is the documented extension for source-code corpora).
-    ``content_sha256`` is carried through — the per-row invariant.
+    ``content_sha256`` is carried through — the per-row invariant — and
+    DERIVED here when the input doesn't ship it (the BASELINE.json
+    input_hint table is exactly ``(repo, path, commit, lang, content)``;
+    only our synthetic generator pre-computes the column).
     """
+    if "content_sha256" not in corpus.columns:
+        corpus = corpus.withColumn("content_sha256", F.sha2(F.col("content"), 256))
     html = parse_html_documents(corpus.filter(F.col("lang") == "html"))
     plain = (
         corpus.filter(F.col("lang") != "html")

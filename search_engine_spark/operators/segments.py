@@ -774,3 +774,66 @@ def load_index(spark: SparkSession, index_dir: str) -> DiskIndex:
             float(m.get("avgdl", 0.0)),
         ),
     )
+
+
+def index_stats(di: DiskIndex) -> DataFrame:
+    """Monitor stats from index METADATA only — the Spark analog of the
+    reference's ``/monitor`` endpoint (index/api/api.go:31-40:
+    ``IndexedDocCount`` / ``TokenCount`` / ``IndexFileSize``; the host
+    CPU/memory gauges there are the cluster manager's job under Spark).
+
+    Everything is served off control-plane artifacts, never posting
+    blobs: ``meta.json`` (n_docs, avgdl, layout), ``manifest.jsonl``
+    per-shard metrics (n_postings / blob_bytes, written by
+    ``write_index(collect_stats=True)``), and the lexicon table
+    (n_terms / total_ctf / max_df — a parquet metadata-sized aggregate),
+    plus one executor-side SUM over the doc store's ``dl`` column for
+    total_dl. At 10^12 docs this is one column scan + three O(1) folds;
+    nothing scales with postings size.
+
+    Returns a single row:
+      n_docs, n_terms, n_postings, total_ctf, max_df, total_dl  (BIGINT —
+        all recountable from the raw corpus, which is how the driver
+        oracle value-checks the monitor path end to end)
+      avgdl (DOUBLE), n_buckets, n_shards, shards_complete, blob_bytes
+        (layout/codec facts — asserted internally by pytest instead:
+        blob_bytes matches the manifest, avgdl == total_dl / n_docs).
+    """
+    man = read_manifest(di.index_dir)
+    complete = [m for m in man.values() if m.get("status") == "complete"]
+    if complete and all("n_postings" in m for m in complete):
+        n_postings = sum(int(m["n_postings"]) for m in complete)
+        blob_bytes = sum(int(m.get("blob_bytes", 0)) for m in complete)
+    else:  # index built with collect_stats=False: same number via the
+        # lexicon (df is salt-aggregated, a doc lives in exactly one salt)
+        n_postings = int(
+            di.lexicon.agg(F.sum("df").alias("s")).collect()[0]["s"] or 0
+        )
+        blob_bytes = 0
+    lex = di.lexicon.agg(
+        F.count("*").alias("n_terms"),
+        F.sum("ctf").alias("total_ctf"),
+        F.max("df").alias("max_df"),
+    ).collect()[0]
+    total_dl = int(
+        di.doc_length_df().agg(F.sum("dl").alias("s")).collect()[0]["s"] or 0
+    )
+    row = (
+        int(di.meta.n_docs),
+        int(lex["n_terms"]),
+        int(n_postings),
+        int(lex["total_ctf"] or 0),
+        int(lex["max_df"] or 0),
+        total_dl,
+        float(di.meta.avgdl),
+        int(di.meta.n_buckets),
+        int(di.meta.n_shards),
+        len(complete),
+        blob_bytes,
+    )
+    return di.spark.createDataFrame(
+        [row],
+        "n_docs bigint, n_terms bigint, n_postings bigint, total_ctf bigint, "
+        "max_df bigint, total_dl bigint, avgdl double, n_buckets bigint, "
+        "n_shards bigint, shards_complete bigint, blob_bytes bigint",
+    )

@@ -386,6 +386,26 @@ SELECT (SELECT COUNT(*) FROM documents)::BIGINT AS n_docs,
 """.strip()
 
 
+def index_stats_sql() -> str:
+    """A7 monitor-stats oracle: a FULL recount from the raw documents
+    table of every corpus-derivable gauge the Spark side serves off
+    monitor metadata (meta.json / manifest.jsonl / lexicon). total_dl ==
+    total_ctf by construction here (testdata docs have an empty title, so
+    the dl column counts exactly the body bigram emissions the pos CTE
+    enumerates) — the point is that the Spark side computes them from two
+    INDEPENDENT artifacts (lexicon ctf vs doc-store dl sidecar)."""
+    return f"""
+WITH {POS_CTE},
+{STATS_CTE}
+SELECT (SELECT COUNT(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT COUNT(*) FROM stats)::BIGINT AS n_terms,
+       (SELECT SUM(df) FROM stats)::BIGINT AS n_postings,
+       (SELECT COUNT(*) FROM pos)::BIGINT AS total_ctf,
+       (SELECT MAX(df) FROM stats)::BIGINT AS max_df,
+       (SELECT COUNT(*) FROM pos)::BIGINT AS total_dl
+""".strip()
+
+
 def postings_term_sql(term: str) -> str:
     return f"""
 WITH {POS_CTE}

@@ -244,3 +244,49 @@ def test_merge_hot_build_rank_identical(spark, docs, tmp_path):
         a = _rounded_order(wand.search_segments(di, q).collect())
         b = _rounded_order(wand.search_segments(di2, q).collect())
         assert a == b
+
+
+def test_index_stats_gauges(spark, docs, index_dir):
+    """A7 monitor stats: every gauge served off metadata must agree with
+    a direct recount over the index's own tables, blob_bytes must match
+    the manifest, and avgdl must equal total_dl / n_docs."""
+    from search_engine_spark.operators.segments import index_stats
+
+    di = load_index(spark, index_dir)
+    row = index_stats(di).collect()[0]
+
+    assert row.n_docs == docs.count()
+    lex = di.lexicon.agg(
+        F.count("*").alias("nt"),
+        F.sum("df").alias("sdf"),
+        F.sum("ctf").alias("sctf"),
+        F.max("df").alias("mdf"),
+    ).collect()[0]
+    assert row.n_terms == lex["nt"]
+    # manifest per-shard n_postings fold == lexicon df fold (a doc lives
+    # in exactly one salt, so both count distinct (doc, term) pairs)
+    assert row.n_postings == lex["sdf"]
+    assert row.total_ctf == lex["sctf"]
+    assert row.max_df == lex["mdf"]
+    man = read_manifest(index_dir)
+    assert row.shards_complete == len(man)
+    assert row.blob_bytes == sum(m["blob_bytes"] for m in man.values()) > 0
+    assert row.avgdl == pytest.approx(row.total_dl / row.n_docs)
+    # empty title in the testdata shape => the two independent paths
+    # (lexicon ctf vs doc-store dl sidecar) count the same emissions
+    assert row.total_dl == row.total_ctf
+
+
+def test_index_stats_without_manifest_stats(spark, docs, tmp_path):
+    """collect_stats=False indexes fall back to the lexicon fold for
+    n_postings and report blob_bytes=0 rather than failing."""
+    from search_engine_spark.operators.segments import index_stats
+
+    d = str(tmp_path / "nostats")
+    write_index(docs, d, n_buckets=8, n_shards=1, n_salts=2, collect_stats=False)
+    di = load_index(spark, d)
+    row = index_stats(di).collect()[0]
+    sdf = int(di.lexicon.agg(F.sum("df").alias("s")).collect()[0]["s"])
+    assert row.n_postings == sdf
+    assert row.blob_bytes == 0
+    assert row.n_docs == docs.count()
