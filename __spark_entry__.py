@@ -27,7 +27,11 @@ from search_engine_spark.operators.postings import (
 from search_engine_spark.operators.highlight import enrich_ranked, enrich_topk
 from search_engine_spark.operators.search import paginate, search
 from search_engine_spark.operators.segments import DiskIndex, load_index, write_index
-from search_engine_spark.operators.wand import search_segments, topk_bm25_wand
+from search_engine_spark.operators.wand import (
+    search_segments,
+    topk_bm25_wand,
+    topk_scores_many,
+)
 from search_engine_spark.functions.tokenizer import term_to_id
 from search_engine_spark.oracle import sqlgen
 
@@ -221,6 +225,31 @@ def _tfidf_topk_q(query: str, k: int = 10, force_distributed: bool = False):
     return run
 
 
+# Batched-eval query set for the multi-query top-k entries: plain keyword
+# queries (the score-ordered family ranks the raw token bag), including a
+# no-hit query so the no-rows path rides the same oracle.
+TOPK_MANY_QUERIES = [
+    ("q1", "table"),
+    ("q2", "table spark"),
+    ("q3", "dup spark"),
+    ("q4", "qqqq"),
+]
+
+
+def _topk_many_q(scorer: str, k: int = 10):
+    """All TOPK_MANY_QUERIES scored in ONE pass over the postings
+    (wand.topk_scores_many) — one pruned scan + one decode per term +
+    one product-keyed shuffle for the whole query set; the oracle is the
+    per-query exhaustive SQL UNION ALL'd, so the batched plan must match
+    Q independent single-query folds row-for-row."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        di = _disk_index(spark, sf_dir)
+        return topk_scores_many(di, TOPK_MANY_QUERIES, k=k, scorer=scorer)
+
+    return run
+
+
 def _search_highlight_q(query: str, k: int = 10):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from search_engine_spark.functions.tokenizer import tokenize_query
@@ -353,6 +382,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dist_search_tfidf_topk": _tfidf_topk_q(
             "table spark", k=10, force_distributed=True
         ),
+        # batched multi-query top-k: the whole query set in ONE pass over
+        # the postings (one scan, one decode per term, one product-keyed
+        # shuffle) — checked against Q independent single-query oracles
+        "search_bm25_topk_many": _topk_many_q("bm25", k=10),
+        "search_tfidf_topk_many": _topk_many_q("tfidf", k=10),
         # highlight/abstract enrichment (H1-H4) — full value oracle: the
         # interval-merge/window/abstract arithmetic is reproduced in DuckDB
         # SQL (sqlgen.search_highlight_sql); ranking feeds the kernel at
@@ -418,6 +452,12 @@ def oracle_sql() -> dict[str, str]:
         "dist_search_bm25_topk": sqlgen.bm25_topk_sql("table spark", 10),
         "search_tfidf_topk": sqlgen.tfidf_topk_sql("table spark", 10),
         "dist_search_tfidf_topk": sqlgen.tfidf_topk_sql("table spark", 10),
+        "search_bm25_topk_many": sqlgen.topk_many_sql(
+            TOPK_MANY_QUERIES, 10, "bm25"
+        ),
+        "search_tfidf_topk_many": sqlgen.topk_many_sql(
+            TOPK_MANY_QUERIES, 10, "tfidf"
+        ),
         "dist_search_and": sqlgen.search_sql("table spark"),
         "dist_search_site": sqlgen.search_sql("table site:src3"),
         "dedup_exact": sqlgen.dedup_exact_sql(),

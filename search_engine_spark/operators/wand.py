@@ -1274,6 +1274,103 @@ def topk_bm25_wand(
     return [(d, sc) for sc, d in top[:k]]
 
 
+def topk_scores_many(
+    di: DiskIndex,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    scorer: str = "bm25",
+) -> DataFrame:
+    """Batched multi-query top-k: (qid, doc_id, score, rank) for EVERY
+    query in ``queries`` (a [(qid, query_string), ...] list) in ONE pass
+    over the postings — the offline-evaluation shape at cluster scale
+    (relevance sweeps over a reference query set, the reference's
+    query-set regression run as one job instead of Q).
+
+    Q single-query jobs pay Q scans + Q shuffles and decode a term once
+    PER QUERY that uses it; this plan pays ONE pruned scan (union of the
+    queries' buckets/terms), decodes every term exactly once, and routes
+    tf rows to queries through a broadcast routing table:
+
+    - pruned segment scan (bucket isin ∪buckets + term_id isin ∪terms —
+      partition pruning + predicate pushdown, same as the single-query
+      executor plan) → mapInArrow blob decode to (term_id, doc_id, tf),
+      ONCE per term;
+    - ``scorer='bm25'``: ONE doc-partitioned dl-sidecar join BEFORE the
+      per-query fan-out, so dl is joined per posting, not per
+      (query × posting);
+    - broadcast join on term_id against the (qid, term_id, idf) routing
+      table (Q·|query terms| rows — driver-tiny, bounded by the query
+      set, independent of corpus size);
+    - groupBy(qid, doc_id).sum(contrib): one shuffle keyed by the
+      PRODUCT key, so queries sharing a hot term don't concentrate on
+      one reducer;
+    - per-query top-k via row_number over (partitionBy qid, orderBy
+      round(score,6) desc, doc_id) ≤ k. Q window partitions; each
+      ranks exactly the candidate set a single-query TakeOrdered would.
+
+    Scores are the same contribution expressions as
+    ``topk_scores_distributed`` and ties at the k boundary use the same
+    (round(score,6) DESC, doc_id) order, so each qid's rows match the
+    single-query plan row-for-row. Queries whose tokens match no indexed
+    term contribute no rows. Query operators (``-x``/``site:``) are not
+    interpreted — the score-ordered family ranks the raw token bag, like
+    the single-query ``topk_*`` entry points."""
+    from pyspark.sql import Window
+
+    from ..functions.xxhash import bucket_of_term
+
+    spark = di.segments.sparkSession
+    out_schema = "qid string, doc_id long, score double, rank long"
+    per_q = {qid: sorted({t for t, _ in tokenize_query(q)}) for qid, q in queries}
+    union = sorted({t for tids in per_q.values() for t in tids})
+    dfs = _df_of_terms(di, union) if union else {}
+    union = [t for t in union if dfs.get(t, 0) > 0]
+    if not union:
+        return spark.createDataFrame([], out_schema)
+    n = di.meta.n_docs
+    if scorer == "bm25":
+        idfs = {t: _bm25_idf(n, dfs[t]) for t in union}
+    else:
+        idfs = {t: math.log(n / dfs[t]) for t in union}
+    route = [
+        (qid, t, idfs[t])
+        for qid, tids in per_q.items()
+        for t in tids
+        if t in idfs
+    ]
+    route_df = spark.createDataFrame(route, "qid string, term_id long, idf double")
+    buckets = sorted({bucket_of_term(t, di.meta.n_buckets) for t in union})
+    seg_rows = di.segments.filter(
+        F.col("bucket").isin(buckets) & F.col("term_id").isin(union)
+    )
+    tf_rows = _decode_tf_df(seg_rows)
+    tf = F.col("tf").cast("double")
+    if scorer == "bm25":
+        avgdl = di.avgdl()
+        tf_rows = tf_rows.join(di.doc_length_df(), "doc_id")
+        contrib = F.col("idf") * (
+            tf * (BM25_K1 + 1.0)
+            / (
+                tf
+                + BM25_K1
+                * (1.0 - BM25_B + BM25_B * (F.col("dl").cast("double") / avgdl))
+            )
+        )
+    else:
+        contrib = (1.0 + F.log(tf)) * F.col("idf")
+    w = Window.partitionBy("qid").orderBy(
+        F.round(F.col("score"), 6).desc(), F.asc("doc_id")
+    )
+    return (
+        tf_rows.join(F.broadcast(route_df), "term_id")
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(contrib).alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def search_segments_cached(
     di: DiskIndex, query: str, per_shard: int = PER_SHARD_LIMIT
 ) -> DataFrame:

@@ -363,6 +363,35 @@ FROM sc ORDER BY ROUND(score, 6) DESC, doc_id LIMIT {k}
 """.strip()
 
 
+def topk_many_sql(
+    queries: list[tuple[str, str]], k: int = 10, scorer: str = "bm25"
+) -> str:
+    """Batched multi-query top-k oracle → (qid, doc_id, score, rank):
+    the per-query exhaustive oracle (``bm25_topk_sql`` /
+    ``tfidf_topk_sql``) tagged with its qid and UNION ALL'd — Q
+    independent single-query folds, the semantics
+    ``operators/wand.topk_scores_many`` must reproduce from its ONE
+    shared postings pass. Queries with no bigram tokens are skipped
+    (the engine yields no rows for them)."""
+    from ..functions.tokenizer import bigram_split
+    from ..operators.search import parse_query as _pq
+
+    gen = bm25_topk_sql if scorer == "bm25" else tfidf_topk_sql
+    parts = []
+    for qid, q in queries:
+        if not any(True for kw in _pq(q).keywords for _ in bigram_split(kw)):
+            continue
+        parts.append(
+            f"SELECT '{qid}' AS qid, doc_id, score, rank FROM ({gen(q, k)})"
+        )
+    if not parts:
+        return (
+            "SELECT '' AS qid, 0::BIGINT AS doc_id, 0.0 AS score, "
+            "0::BIGINT AS rank WHERE FALSE"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 def lexicon_sql() -> str:
     return """
 WITH runs AS (

@@ -157,3 +157,34 @@ def test_df_equals_ndocs_term(spark, tmp_path):
     assert len(driver) == 10  # the term matches all 120 docs
     _assert_rank_identical(dist, driver)
     assert di._dl is None and len(di.segment_cache._d) == 0
+
+
+def test_topk_many_matches_single_query(spark, index_dir):
+    """Batched multi-query top-k (ONE postings pass for the whole query
+    set) matches the single-query plans row-for-row per qid — both
+    scorers, including a no-hit query contributing zero rows."""
+    qset = [("a", "table"), ("b", "table spark"), ("c", "dup"), ("d", "qqqq")]
+    for scorer, single in (
+        ("bm25", wand.topk_bm25_wand),
+        ("tfidf", wand.topk_wand),
+    ):
+        di = load_index(spark, index_dir)
+        got = wand.topk_scores_many(di, qset, k=10, scorer=scorer)
+        by_q = {}
+        for r in got.collect():
+            by_q.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+        assert "d" not in by_q  # no-hit query yields no rows
+        for qid, q in qset:
+            exp = single(load_index(spark, index_dir), q, 10)
+            rows = sorted(by_q.get(qid, []))
+            assert [d for _, d, _ in rows] == [d for d, _ in exp], (scorer, qid)
+            assert [r for r, _, _ in rows] == list(range(1, len(exp) + 1))
+            for (_, _, s), (_, es) in zip(rows, exp):
+                assert abs(s - round(es, 6)) < 1e-9, (scorer, qid)
+
+
+def test_topk_many_empty_query_set(spark, index_dir):
+    di = load_index(spark, index_dir)
+    got = wand.topk_scores_many(di, [("x", "")], k=5)
+    assert got.columns == ["qid", "doc_id", "score", "rank"]
+    assert got.count() == 0
