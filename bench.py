@@ -16,10 +16,15 @@ evidence of a clean window is meaningless. Every timed rep is now
 bracketed by a pure-Python spin probe; the JSON embeds per-entry
 ``entries[name] = {secs, reps, probes, probe_min, healthy}`` where
 ``healthy`` means the winning rep's probes sit inside the documented
-healthy band (>= --healthy-mops, default 11 Mop/s). ``unhealthy`` lists
-entries whose best rep never landed in a clean window — those numbers
-are upper bounds, not measurements. Reps continue (max 4-6) until a
-stable pair lands with healthy probes.
+healthy band (>= --healthy-mops, default 11 Mop/s) AND the /proc/stat
+steal share across the rep is <= --max-steal-pct (round 4: the spin
+probe is single-threaded, so it can read clean while the hypervisor
+throttles the other 31 vCPUs mid-parallel-stage — measured 27→73 s
+build swings with clean spin probes; the kernel's steal jiffies account
+for exactly that). ``unhealthy`` lists entries whose best rep never
+landed in a clean window — those numbers are upper bounds, not
+measurements. Reps continue (max 4-6) until a stable pair lands with
+healthy probes.
 
 Every timed entry is an adaptive min-of-N (stop when two consecutive
 samples agree within 30% of each other and of the running best, AND the
@@ -51,6 +56,18 @@ def main() -> None:
         default=float(os.environ.get("SPARK_GRAFT_HEALTHY_MOPS", "11.0")),
         help="spin-probe floor (Mop/s) below which a window counts as "
         "steal-degraded (BASELINE.md: healthy ~12-17 on this host)",
+    )
+    ap.add_argument(
+        "--max-steal-pct",
+        type=float,
+        default=float(os.environ.get("SPARK_GRAFT_MAX_STEAL_PCT", "3.5")),
+        help="/proc/stat steal share (%% of all CPU time during the rep) "
+        "above which a window counts as contended — catches PARALLEL-"
+        "phase throttling the single-thread spin probe can't see. Steal "
+        "is a STRAGGLER AMPLIFIER on barrier stages (each of 32 tasks "
+        "must finish before the stage ends), so a few %% of total steal "
+        "multiplies wall time: measured on this host, the same build is "
+        "12.6 s at 2.6%% steal and 36.5 s at 7.6%%.",
     )
     ap.add_argument(
         "--p50-docs",
@@ -90,6 +107,28 @@ def main() -> None:
             x += i * i
         return round(n / (time.time() - t0) / 1e6, 2)
 
+    def cpu_stat() -> list[int] | None:
+        # /proc/stat first line: user nice system idle iowait irq softirq
+        # steal — cumulative jiffies over ALL cpus
+        try:
+            with open("/proc/stat") as f:
+                return [int(v) for v in f.readline().split()[1:9]]
+        except Exception:
+            return None
+
+    def steal_pct(a: list[int] | None, b: list[int] | None) -> float | None:
+        """Host-steal share of all CPU time between two /proc/stat
+        snapshots. The single-thread spin probe misses PARALLEL-phase
+        contention (one spinning thread can run clean while the other 31
+        vCPUs are being throttled — measured on this host: 27→73 s build
+        swings with healthy spin probes on both ends); steal jiffies are
+        the hypervisor's own account of exactly that."""
+        if a is None or b is None:
+            return None
+        d = [y - x for x, y in zip(a, b)]
+        tot = sum(d)
+        return round(100.0 * d[7] / tot, 2) if tot > 0 else None
+
     probe_before = spin_probe()
 
     def timed(name: str, fn, max_reps: int = 4, reset=None, min_reps: int = 2):
@@ -107,19 +146,25 @@ def main() -> None:
         best, best_i, prev, out = None, -1, None, None
         reps: list[float] = []
         probes: list[list[float]] = []
+        steals: list[float | None] = []
         for i in range(max_reps):
             if reset is not None:
                 reset()
             pb = spin_probe()
+            cs0 = cpu_stat()
             t0 = time.time()
             out = fn()
             dt = time.time() - t0
+            cs1 = cpu_stat()
             pa = spin_probe()
             reps.append(round(dt, 3))
             probes.append([pb, pa])
+            steals.append(steal_pct(cs0, cs1))
             if best is None or dt < best:
                 best, best_i = dt, i
-            best_healthy = min(probes[best_i]) >= args.healthy_mops
+            best_healthy = min(probes[best_i]) >= args.healthy_mops and (
+                steals[best_i] is None or steals[best_i] <= args.max_steal_pct
+            )
             stable_pair = (
                 prev is not None
                 and abs(dt - prev) <= 0.3 * max(dt, prev)
@@ -136,8 +181,10 @@ def main() -> None:
             "secs": round(best, 3),
             "reps": reps,
             "probes": probes,
+            "steal_pct": steals,
             "probe_min": min(probes[best_i]),
-            "healthy": min(probes[best_i]) >= args.healthy_mops,
+            "healthy": min(probes[best_i]) >= args.healthy_mops
+            and (steals[best_i] is None or steals[best_i] <= args.max_steal_pct),
         }
         return out
 
@@ -180,7 +227,7 @@ def main() -> None:
             collect_stats=False,
         )
 
-    timed("index_build", build_once, max_reps=4)
+    timed("index_build", build_once, max_reps=6)
     build_sec = timings["index_build"]
     index_dir = build_dirs[0]
     for d in build_dirs[1:]:
@@ -258,6 +305,7 @@ def main() -> None:
     )
     fx_di = load_index(spark, fx_idx)
     p50_probe_before = spin_probe()
+    fx_cs0 = cpu_stat()
     for _, q in REFERENCE_QUERY_SET:  # warmup (JIT + parquet footer cache)
         search_segments(fx_di, q).collect()
     lat: dict[str, list[float]] = {qid: [] for qid, _ in REFERENCE_QUERY_SET}
@@ -266,7 +314,9 @@ def main() -> None:
             t1 = time.time()
             search_segments(fx_di, q).collect()
             lat[qid].append((time.time() - t1) * 1000)
+    fx_cs1 = cpu_stat()
     p50_probe_after = spin_probe()
+    fx_steal = steal_pct(fx_cs0, fx_cs1)
     all_lat = [v for vs in lat.values() for v in vs]
     query_p50_ms = round(statistics.median(all_lat), 2)
     query_p95_ms = round(sorted(all_lat)[int(len(all_lat) * 0.95)], 2)
@@ -276,8 +326,10 @@ def main() -> None:
     entries["fixtures_query_block"] = {
         "secs": None,
         "probes": [[p50_probe_before, p50_probe_after]],
+        "steal_pct": [fx_steal],
         "probe_min": min(p50_probe_before, p50_probe_after),
-        "healthy": min(p50_probe_before, p50_probe_after) >= args.healthy_mops,
+        "healthy": min(p50_probe_before, p50_probe_after) >= args.healthy_mops
+        and (fx_steal is None or fx_steal <= args.max_steal_pct),
     }
     shutil.rmtree(fx_root, ignore_errors=True)
 

@@ -78,20 +78,40 @@ def word_shingles(
     ``distinct=False`` skips the dedup shuffle — correct for consumers
     whose aggregate is multiset-insensitive (MIN in the minhash path).
     """
-    ws = F.split(F.col(text_col), " ")
-    # element_at is O(1) per lookup; building each gram with slice() would
-    # be O(words) per element → O(words²) per document (measured 180 s at
-    # sf0.1 vs ~2 s for this form).
-    grams = F.when(
-        F.size(ws) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    out = documents.select(
-        F.col(id_col).cast("long").alias("doc_id"), grams.alias("_g")
-    ).select("doc_id", F.explode("_g").alias("shingle"))
+    # NO higher-order function anywhere in this plan — deliberately.
+    # A `transform(sequence(...), lambda i: ...element_at(ws, i)...)`
+    # generator is interpreted (HOFs never whole-stage-codegen and get no
+    # common-subexpression elimination), and whatever projection holds
+    # the words array, the optimizer re-inlines `split(text)` into the
+    # lambda (CollapseProject / filter pushdown / the filter that
+    # InferFiltersFromGenerate synthesizes below the Generate) — so every
+    # element_at re-ran the FULL split: O(words²) interpreted
+    # String.split per document. Measured at sf0.1: 240-340 s cold for
+    # the minhash consumer, executor stacks 100% in
+    # ConcatWs.eval/String.split.
+    #
+    # Instead: explode a cheap INDEX sequence, and build each shingle
+    # AFTER the Generate in an ordinary projection over the materialized
+    # `_ws` attribute. No rule can push the shingle expression below the
+    # Generate (it references the exploded index), so `_ws` stays a
+    # bound array and every stage — split, explode, concat — runs inside
+    # whole-stage codegen. Same shingle values, same row multiset; ~8 s
+    # for the same minhash run.
+    ws = F.col("_ws")
+    idx = F.when(
+        F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    shingle = F.concat_ws(
+        " ", *[F.element_at(ws, F.col("_i") + j) for j in range(n)]
+    )
+    out = (
+        documents.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("_ws"),
+        )
+        .select("doc_id", "_ws", F.explode(idx).alias("_i"))
+        .select("doc_id", shingle.alias("shingle"))
+    )
     return out.distinct() if distinct else out
 
 

@@ -53,6 +53,28 @@ def _noise_probe(duration: float = 0.5) -> float:
     return round(c / duration, 1)
 
 
+def _cpu_stat() -> list[int] | None:
+    """/proc/stat first line (user nice system idle iowait irq softirq
+    steal), cumulative jiffies over all cpus."""
+    try:
+        with open("/proc/stat") as f:
+            return [int(v) for v in f.readline().split()[1:9]]
+    except Exception:
+        return None
+
+
+def _steal_pct(a: list[int] | None, b: list[int] | None) -> float | None:
+    """Hypervisor steal share of ALL cpu time between two snapshots — the
+    contention signal the single-thread spin probe can't see during the
+    32-way-parallel build phases (one spinning thread can run clean while
+    the other vCPUs are throttled)."""
+    if a is None or b is None:
+        return None
+    d = [y - x for x, y in zip(a, b)]
+    tot = sum(d)
+    return round(100.0 * d[7] / tot, 2) if tot > 0 else None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, required=True)
@@ -108,6 +130,7 @@ def main() -> None:
 
     index_dir = tempfile.mkdtemp(prefix=f"scale_idx_{args.cores}_") + "/idx"
     probe_before = _noise_probe()
+    cs0 = _cpu_stat()
     t0 = time.time()
     write_index(
         docs,
@@ -119,6 +142,7 @@ def main() -> None:
         collect_stats=False,
     )
     build_sec = time.time() - t0
+    cs1 = _cpu_stat()
     probe_after = _noise_probe()
 
     di = load_index(spark, index_dir)
@@ -137,6 +161,7 @@ def main() -> None:
         "build_sec": round(build_sec, 2),
         "docs_per_sec": round(args.n_docs / build_sec, 1),
         "noise_probe": [probe_before, probe_after],
+        "build_steal_pct": _steal_pct(cs0, cs1),
         "query_p50_ms": round(statistics.median(all_lat), 2),
         "query_p95_ms": round(sorted(all_lat)[int(len(all_lat) * 0.95)], 2),
         "per_query_p50_ms": {
