@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from search_engine_spark.operators import dedup as D
+from search_engine_spark.operators import sampling as SAMP
 from search_engine_spark.operators import events as E
 from search_engine_spark.operators import multimodal as MM
 from search_engine_spark.operators import similarity as SIM
@@ -228,6 +229,10 @@ def _tfidf_topk_q(query: str, k: int = 10, force_distributed: bool = False):
 # Batched-eval query set for the multi-query top-k entries: plain keyword
 # queries (the score-ordered family ranks the raw token bag), including a
 # no-hit query so the no-rows path rides the same oracle.
+# Stratified-sampling rates for the sampling entries: cap the dominant
+# language, keep more of the rarer ones (the 100-TB downsampling shape).
+SAMPLE_FRACTIONS = {"en": 0.25, "zh": 0.8, "es": 0.5}
+
 TOPK_MANY_QUERIES = [
     ("q1", "table"),
     ("q2", "table spark"),
@@ -411,6 +416,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training — centroids are cross-engine data, not shared math
         "embed_ivf_assign": _ivf_assign_q,
         "embed_ivf_topk": _ivf_topk_q,
+        # --- deterministic sampling / dataset splits -------------------------
+        # membership is a pure function of (seed, doc_id) via the portable
+        # md5 bucket — reproducible across engines and repartitionings
+        "sample_hash_split": lambda s, d: SAMP.hash_split(_documents(s, d)),
+        "sample_stratified": lambda s, d: SAMP.stratified_sample(
+            _documents(s, d), SAMPLE_FRACTIONS, default_fraction=0.1
+        ),
         # --- text analysis ---------------------------------------------------
         "text_lang_id": lambda s, d: TS.lang_id(_documents(s, d)),
         "text_quality": lambda s, d: TS.quality_score(_documents(s, d)),
@@ -460,6 +472,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dist_search_and": sqlgen.search_sql("table spark"),
         "dist_search_site": sqlgen.search_sql("table site:src3"),
+        "sample_hash_split": sqlgen.hash_split_sql(),
+        "sample_stratified": sqlgen.stratified_sample_sql(
+            SAMPLE_FRACTIONS, default_fraction=0.1
+        ),
         "dedup_exact": sqlgen.dedup_exact_sql(),
         "dedup_jaccard": sqlgen.dedup_jaccard_sql(),
         "dedup_minhash": sqlgen.dedup_minhash_sql(),

@@ -392,6 +392,61 @@ def topk_many_sql(
     return "\nUNION ALL\n".join(parts)
 
 
+def _bucket_sql(seed: int) -> str:
+    """DuckDB mirror of operators/sampling._bucket: porthash60 of
+    "<seed>:<doc_id>" mod 10000."""
+    return (
+        f"(('0x' || substring(md5('{seed}:' || doc_id::VARCHAR), 1, 15))::BIGINT"
+        " % 10000)::INT"
+    )
+
+
+def hash_split_sql(weights: dict[str, float] | None = None, seed: int = 0) -> str:
+    """Oracle for operators/sampling.hash_split → (doc_id, bucket, split):
+    same seeded md5 bucket, same cumulative-threshold CASE."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    names = list(weights)
+    acc = 0.0
+    arms = []
+    for name in names[:-1]:
+        acc += weights[name]
+        arms.append(f"WHEN bucket < {int(round(acc * 10000))} THEN '{name}'")
+    case = "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END" if arms else f"'{names[-1]}'"
+    return f"""
+WITH b AS (
+  SELECT doc_id::BIGINT AS doc_id, {_bucket_sql(seed)} AS bucket FROM documents
+)
+SELECT doc_id, bucket, {case} AS split FROM b
+""".strip()
+
+
+def stratified_sample_sql(
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 0,
+    stratum_col: str = "lang",
+) -> str:
+    """Oracle for operators/sampling.stratified_sample → (doc_id,
+    stratum, bucket): per-stratum bucket threshold, same hash."""
+    arms = " ".join(
+        f"WHEN {stratum_col} = '{k}' THEN {int(round(v * 10000))}"
+        for k, v in fractions.items()
+    )
+    thr = (
+        f"CASE {arms} ELSE {int(round(default_fraction * 10000))} END"
+        if arms
+        else str(int(round(default_fraction * 10000)))
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id::BIGINT AS doc_id, {stratum_col} AS stratum,
+         {_bucket_sql(seed)} AS bucket, {thr} AS _thr
+  FROM documents
+)
+SELECT doc_id, stratum, bucket FROM b WHERE bucket < _thr
+""".strip()
+
+
 def lexicon_sql() -> str:
     return """
 WITH runs AS (
