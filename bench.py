@@ -60,14 +60,14 @@ def main() -> None:
     ap.add_argument(
         "--max-steal-pct",
         type=float,
-        default=float(os.environ.get("SPARK_GRAFT_MAX_STEAL_PCT", "3.5")),
-        help="/proc/stat steal share (%% of all CPU time during the rep) "
-        "above which a window counts as contended — catches PARALLEL-"
-        "phase throttling the single-thread spin probe can't see. Steal "
-        "is a STRAGGLER AMPLIFIER on barrier stages (each of 32 tasks "
-        "must finish before the stage ends), so a few %% of total steal "
-        "multiplies wall time: measured on this host, the same build is "
-        "12.6 s at 2.6%% steal and 36.5 s at 7.6%%.",
+        default=float(os.environ.get("SPARK_GRAFT_MAX_STEAL_PCT", "5.0")),
+        help="/proc/stat steal share (%% of NON-IDLE CPU time during the "
+        "rep) above which a window counts as contended — catches "
+        "PARALLEL-phase throttling the single-thread spin probe can't "
+        "see. Steal is a STRAGGLER AMPLIFIER on barrier stages (each of "
+        "32 tasks must finish before the stage ends), so a few %% of "
+        "steal multiplies wall time: measured on this host, the same "
+        "build is 12.6 s at 4.3%% steal-of-busy and 36.5 s at 11.5%%.",
     )
     ap.add_argument(
         "--p50-docs",
@@ -117,17 +117,21 @@ def main() -> None:
             return None
 
     def steal_pct(a: list[int] | None, b: list[int] | None) -> float | None:
-        """Host-steal share of all CPU time between two /proc/stat
+        """Host-steal share of NON-IDLE CPU time between two /proc/stat
         snapshots. The single-thread spin probe misses PARALLEL-phase
         contention (one spinning thread can run clean while the other 31
         vCPUs are being throttled — measured on this host: 27→73 s build
         swings with healthy spin probes on both ends); steal jiffies are
-        the hypervisor's own account of exactly that."""
+        the hypervisor's own account of exactly that. Normalized by busy
+        (total − idle − iowait) rather than total time so the signal
+        means the same thing for a 1-wide query rep and a 32-wide build
+        (steal only accrues against runnable vCPUs — 1% of TOTAL time is
+        ~a third of a single busy core but noise for 32 busy cores)."""
         if a is None or b is None:
             return None
         d = [y - x for x, y in zip(a, b)]
-        tot = sum(d)
-        return round(100.0 * d[7] / tot, 2) if tot > 0 else None
+        busy = sum(d) - d[3] - d[4]
+        return round(100.0 * d[7] / busy, 2) if busy > 0 else None
 
     probe_before = spin_probe()
 

@@ -75,6 +75,20 @@ def _steal_pct(a: list[int] | None, b: list[int] | None) -> float | None:
     return round(100.0 * d[7] / tot, 2) if tot > 0 else None
 
 
+def _steal_of_busy_pct(a: list[int] | None, b: list[int] | None) -> float | None:
+    """Steal as a share of NON-IDLE time — the number that compares
+    across parallelism widths. Total-time steal under-reports contention
+    for narrow runs: 1% total steal on a 32-vCPU host is ~32% of a
+    1-core run's only busy core but ~4% of an 8-core run's budget. The
+    hypervisor charges steal only against runnable vCPUs, so
+    steal/(total − idle − iowait) is width-normalized."""
+    if a is None or b is None:
+        return None
+    d = [y - x for x, y in zip(a, b)]
+    busy = sum(d) - d[3] - d[4]
+    return round(100.0 * d[7] / busy, 2) if busy > 0 else None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, required=True)
@@ -162,6 +176,7 @@ def main() -> None:
         "docs_per_sec": round(args.n_docs / build_sec, 1),
         "noise_probe": [probe_before, probe_after],
         "build_steal_pct": _steal_pct(cs0, cs1),
+        "build_steal_of_busy_pct": _steal_of_busy_pct(cs0, cs1),
         "query_p50_ms": round(statistics.median(all_lat), 2),
         "query_p95_ms": round(sorted(all_lat)[int(len(all_lat) * 0.95)], 2),
         "per_query_p50_ms": {
