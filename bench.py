@@ -1,13 +1,20 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (the last stdout line):
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q1": sec, ...}, "sf": ...}
+   "queries": {"q1": sec, ...}, "sf": ..., "docs_per_sec": ...,
+   "unhealthy": [names], "query_p50_ms": ..., "query_p95_ms": ...}
+
+and writes the FULL artifact — per-entry rep arrays, spin probes,
+/proc/stat steal shares, per-query p50 — to ``BENCH.json`` next to this
+script (verdict r4 #1: the round-4 single-line full dump defeated the
+driver's parser; the compact line is what the driver records, BENCH.json
+is the evidence trail).
 
 Extra keys (informational): docs_per_sec for the index build, n_docs,
-query_p50_ms / query_p95_ms / per_query_p50_ms (the FIXTURES.md §4
-reference query set, warm serving latency — same workload as
-tools/scale_bench.py), and the self-certification block below.
+query_p50_ms / query_p95_ms (the FIXTURES.md §4 reference query set,
+warm serving latency — same workload as tools/scale_bench.py), and the
+self-certification block below (BENCH.json only).
 
 **Self-certifying timings** (round-3 verdict #1): this host shows
 multi-second CPU-steal storms (spin rate 5.8-18.9 Mop/s on identical
@@ -402,32 +409,44 @@ def main() -> None:
 
     shutil.rmtree(os.path.dirname(index_dir), ignore_errors=True)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "index_build_plus_query_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_docs": n_docs,
-                "n_postings": n_postings,
-                "docs_per_sec": round(n_docs / build_sec, 1),
-                "cpus": int(args.cpus),
-                "timing_protocol": "adaptive_min_probe_certified",
-                "noise_probe_mops": [probe_before, spin_probe()],
-                "healthy_band_mops": args.healthy_mops,
-                "unhealthy": sorted(
-                    k for k, v in entries.items() if not v["healthy"]
-                ),
-                "entries": entries,
-                "query_p50_ms": query_p50_ms,
-                "query_p95_ms": query_p95_ms,
-                "per_query_p50_ms": per_query_p50_ms,
-                "p50_corpus_docs": args.p50_docs,
-            }
-        )
+    # Output protocol (verdict r4 #1): the round-4 single-line JSON with
+    # per-rep probe/steal arrays for ~30 entries defeated the driver's
+    # tail capture (BENCH_r04 `parsed: null`). The FULL self-certification
+    # block now goes to BENCH.json on disk next to this script; stdout's
+    # LAST line is a compact machine-readable summary — headline secs,
+    # docs_per_sec, p50/p95, and the `unhealthy` list only.
+    summary = {
+        "metric": "index_build_plus_query_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "n_postings": n_postings,
+        "docs_per_sec": round(n_docs / build_sec, 1),
+        "cpus": int(args.cpus),
+        "timing_protocol": "adaptive_min_probe_certified",
+        "healthy_band_mops": args.healthy_mops,
+        "unhealthy": sorted(k for k, v in entries.items() if not v["healthy"]),
+        "query_p50_ms": query_p50_ms,
+        "query_p95_ms": query_p95_ms,
+        "p50_corpus_docs": args.p50_docs,
+        "detail": "BENCH.json",
+    }
+    full = dict(summary)
+    full.update(
+        {
+            "noise_probe_mops": [probe_before, spin_probe()],
+            "entries": entries,
+            "per_query_p50_ms": per_query_p50_ms,
+        }
     )
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

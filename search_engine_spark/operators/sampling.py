@@ -40,8 +40,17 @@ def _bucket(id_col: str, seed: int) -> F.Column:
 
     The seed is INSIDE the hash input, so different seeds produce
     independent deals (same construction as the DuckDB oracle mirrors
-    character-for-character)."""
-    key = F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    character-for-character).
+
+    NULL ids hash to NULL (ADVICE r4): ``F.concat`` propagates NULL like
+    the oracle's ``'seed:' || doc_id::VARCHAR``, so a NULL doc_id yields
+    a NULL bucket and both engines then agree structurally — every
+    ``bucket < hi`` CASE arm is NULL so hash_split lands in the ELSE
+    (last) split in Spark AND DuckDB, and stratified_sample's
+    ``bucket < thr`` filter drops the row in both. The previous
+    ``concat_ws`` silently skipped the NULL and hashed just the seed
+    string — engine and oracle diverged on NULL ids."""
+    key = F.concat(F.lit(str(seed) + ":"), F.col(id_col).cast("string"))
     return (porthash60(key) % _BUCKETS).cast("int")
 
 
@@ -57,7 +66,15 @@ def hash_split(
     (a remainder falls into the LAST split, so the default 0.9/0.05/0.05
     is exhaustive). Splits are contiguous cumulative ranges over the
     hash bucket — membership is stable under corpus growth and
-    repartitioning, and reproducible in any engine that can md5."""
+    repartitioning, and reproducible in any engine that can md5.
+
+    **Order-sensitive by design** (ADVICE r4): the cumulative ranges
+    follow the insertion order of ``weights`` — {"train": .9, "val": .1}
+    puts train in buckets [0, 9000) while {"val": .1, "train": .9} puts
+    val there, so the same weights in a different key order assign rows
+    to different splits. The DuckDB oracle (``hash_split_sql``) must be
+    called with an identically-ordered dict to agree; callers who need
+    order-independence should pass a canonically-sorted dict to both."""
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
     if not weights or any(w < 0 for w in weights.values()):
         raise ValueError("weights must be non-negative and non-empty")

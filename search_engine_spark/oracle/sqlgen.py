@@ -382,7 +382,7 @@ def topk_many_sql(
         if not any(True for kw in _pq(q).keywords for _ in bigram_split(kw)):
             continue
         parts.append(
-            f"SELECT '{qid}' AS qid, doc_id, score, rank FROM ({gen(q, k)})"
+            f"SELECT '{_sqlq(qid)}' AS qid, doc_id, score, rank FROM ({gen(q, k)})"
         )
     if not parts:
         return (
@@ -390,6 +390,14 @@ def topk_many_sql(
             "0::BIGINT AS rank WHERE FALSE"
         )
     return "\nUNION ALL\n".join(parts)
+
+
+def _sqlq(v: str) -> str:
+    """Escape a caller-supplied string for use inside a single-quoted SQL
+    literal (ADVICE r4: qids / split names / stratum keys were
+    interpolated raw, so a value containing a quote produced broken
+    oracle SQL)."""
+    return str(v).replace("'", "''")
 
 
 def _bucket_sql(seed: int) -> str:
@@ -410,8 +418,12 @@ def hash_split_sql(weights: dict[str, float] | None = None, seed: int = 0) -> st
     arms = []
     for name in names[:-1]:
         acc += weights[name]
-        arms.append(f"WHEN bucket < {int(round(acc * 10000))} THEN '{name}'")
-    case = "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END" if arms else f"'{names[-1]}'"
+        arms.append(f"WHEN bucket < {int(round(acc * 10000))} THEN '{_sqlq(name)}'")
+    case = (
+        "CASE " + " ".join(arms) + f" ELSE '{_sqlq(names[-1])}' END"
+        if arms
+        else f"'{_sqlq(names[-1])}'"
+    )
     return f"""
 WITH b AS (
   SELECT doc_id::BIGINT AS doc_id, {_bucket_sql(seed)} AS bucket FROM documents
@@ -429,7 +441,7 @@ def stratified_sample_sql(
     """Oracle for operators/sampling.stratified_sample → (doc_id,
     stratum, bucket): per-stratum bucket threshold, same hash."""
     arms = " ".join(
-        f"WHEN {stratum_col} = '{k}' THEN {int(round(v * 10000))}"
+        f"WHEN {stratum_col} = '{_sqlq(k)}' THEN {int(round(v * 10000))}"
         for k, v in fractions.items()
     )
     thr = (

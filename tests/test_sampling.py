@@ -86,3 +86,62 @@ def test_stratified_sample_consistent_with_split_hash(spark, docs):
     out = S.stratified_sample(docs, {"en": 1.0}, default_fraction=0.0)
     n_en = docs.filter("lang = 'en'").count()
     assert out.count() == n_en
+
+
+def test_null_doc_id_matches_oracle_semantics(spark, docs):
+    """ADVICE r4: NULL doc_id must behave identically in Spark and the
+    DuckDB oracle. With null-propagating concat the bucket is NULL, so
+    hash_split's CASE falls to the ELSE (last) split in BOTH engines and
+    stratified_sample's bucket<thr filter drops the row in BOTH."""
+    import duckdb
+    import pandas as pd
+
+    from search_engine_spark.oracle import sqlgen
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, None], "lang": ["en", "zh", "en"],
+         "text": ["a", "b", "c"]}
+    )
+    null_docs = spark.createDataFrame(pdf)
+
+    out = {r["doc_id"]: (r["bucket"], r["split"])
+           for r in S.hash_split(null_docs).collect()}
+    assert out[None] == (None, "test")  # ELSE arm = last weight name
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    ora = {r[0]: (r[1], r[2])
+           for r in con.execute(sqlgen.hash_split_sql()).fetchall()}
+    assert ora[None] == (None, "test")
+    assert out == {k: v for k, v in ora.items()}
+
+    # stratified: NULL bucket < thr is NULL -> dropped in both engines
+    strat = S.stratified_sample(null_docs, {"en": 1.0}).collect()
+    assert sorted(r["doc_id"] for r in strat) == [1]
+    ora_strat = con.execute(
+        sqlgen.stratified_sample_sql({"en": 1.0})
+    ).fetchall()
+    assert sorted(r[0] for r in ora_strat) == [1]
+
+
+def test_sqlgen_escapes_quotes():
+    """ADVICE r4: caller-supplied names containing a single quote must
+    not break the generated oracle SQL."""
+    import duckdb
+    import pandas as pd
+
+    from search_engine_spark.oracle import sqlgen
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": [1, 2], "lang": ["o'brien", "en"],
+                      "text": ["a", "b"]}),
+    )
+    # hash_split with a quoted split name parses and runs
+    rows = con.execute(
+        sqlgen.hash_split_sql({"tr'ain": 0.5, "rest": 0.5})
+    ).fetchall()
+    assert {r[2] for r in rows} <= {"tr'ain", "rest"}
+    # stratified with a quoted stratum key parses and runs
+    con.execute(sqlgen.stratified_sample_sql({"o'brien": 1.0})).fetchall()
