@@ -30,6 +30,15 @@ API change log:
   the shingle stream is removed); ``minhash_signatures`` computes all
   seeds as parallel aggregates and restores the (doc_id, seed) row shape
   post-aggregate (values unchanged; shuffle rows /= num_hashes).
+- round 5: ``minhash_candidate_pairs`` default changed from uncapped
+  (``max_band_df=None``) to ``max_band_df=128`` — mirroring round 2's
+  ``max_shingle_df`` change and for the same reason: a representative-
+  level band bucket where d distinct near-miss texts collide costs d²
+  verification pairs, the first thing that dies at 100× scale. On
+  corpora with >128 DISTINCT texts colliding in one (band, band_hash)
+  bucket the default pair set shrinks vs round-4 output; exact-duplicate
+  pairs are never affected (folded before the cap). Pass
+  ``max_band_df=None`` for the old behavior.
 """
 
 from __future__ import annotations
@@ -116,6 +125,10 @@ def word_shingles(
 
 
 DEFAULT_MAX_SHINGLE_DF = 128
+# round-5 default for minhash_candidate_pairs (see API change log): caps
+# the d² verification blow-up of a hot representative-level band bucket,
+# the LSH mirror of the shingle-df cap above.
+DEFAULT_MAX_BAND_DF = 128
 
 
 def ngram_jaccard_pairs(
@@ -279,7 +292,7 @@ def minhash_candidate_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_band_df: int | None = None,
+    max_band_df: int | None = DEFAULT_MAX_BAND_DF,
 ) -> DataFrame:
     """LSH candidate pairs: (doc_a, doc_b, n_bands) — docs sharing >=1 band.
 
@@ -306,8 +319,8 @@ def minhash_candidate_pairs(
        collide costs d² verification pairs; the cap bounds it. Exact
        duplicates are unaffected (they were folded in step 1), which is
        why the cap composes with exact-first instead of silently dropping
-       true duplicates. None (default) = no cap, output identical to the
-       naive plan.
+       true duplicates. Default 128 since round 5 (API change log above);
+       None = no cap, output identical to the naive plan.
 
     Output is row-identical to the naive self-join for max_band_df=None:
     intra-group pairs carry n_bands = num_hashes//band_size, inter-group

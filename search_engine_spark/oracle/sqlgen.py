@@ -547,8 +547,11 @@ WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
 
 
 def dedup_minhash_sql(
-    num_hashes: int = 16, band_size: int = 4, max_band_df: int | None = None
+    num_hashes: int = 16, band_size: int = 4, max_band_df: int | None = 128
 ) -> str:
+    # max_band_df default mirrors operators/dedup.DEFAULT_MAX_BAND_DF
+    # (round-5 API change): the driver's dedup_minhash row compares the
+    # capped engine default against this capped oracle.
     # Same seeded-hash family as operators/dedup.py: one md5 per shingle
     # split into two 28-bit ints, hash_s = (a + s*b) mod (2^31 - 1).
     # The Spark plan exact-dedups texts before the band join (skew guard);

@@ -139,7 +139,7 @@ def test_minhash_exact_first_matches_naive_join(skewed_docs):
     """The exact-dedup-first plan (uncapped) is row-identical to the
     naive band self-join it replaced — including on a corpus dominated
     by one exact-duplicate cluster."""
-    got = _pairs(D.minhash_candidate_pairs(skewed_docs))
+    got = _pairs(D.minhash_candidate_pairs(skewed_docs, max_band_df=None))
     bk = D.minhash_band_keys(skewed_docs)
     a, b = bk.alias("a"), bk.alias("b")
     naive = (
@@ -195,3 +195,28 @@ def test_minhash_band_cap_matches_sql_oracle(spark, skewed_docs):
         exp = {(r[0], r[1]): r[2] for r in res.fetchall()}
         got = _pairs(D.minhash_candidate_pairs(skewed_docs, max_band_df=cap))
         assert got == exp, cap
+
+
+def test_minhash_default_cap_is_128_and_matches_default_oracle(spark, skewed_docs):
+    """Round-5 API change (verdict r4 #6): minhash_candidate_pairs now
+    defaults to max_band_df=128, mirroring max_shingle_df. The default
+    call must (a) equal an explicit cap of 128, (b) equal the DuckDB
+    oracle's own default (the driver's dedup_minhash row pairing), and
+    (c) on this corpus — whose hottest representative band bucket is far
+    under 128 — equal the uncapped output too."""
+    import duckdb
+
+    from search_engine_spark.oracle import sqlgen
+
+    assert D.DEFAULT_MAX_BAND_DF == 128
+    default = _pairs(D.minhash_candidate_pairs(skewed_docs))
+    assert default == _pairs(
+        D.minhash_candidate_pairs(skewed_docs, max_band_df=128)
+    )
+    assert default == _pairs(
+        D.minhash_candidate_pairs(skewed_docs, max_band_df=None)
+    )
+    con = duckdb.connect()
+    con.register("documents", skewed_docs.toPandas())
+    res = con.execute(sqlgen.dedup_minhash_sql())  # oracle default = 128
+    assert default == {(r[0], r[1]): r[2] for r in res.fetchall()}
