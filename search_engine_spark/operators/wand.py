@@ -268,6 +268,30 @@ def _block_upper_bounds(bmax: np.ndarray, idf: float, scorer: str) -> np.ndarray
     return (1.0 + np.log(tf)) * idf
 
 
+def _decode_kept_blocks(blob, boff_scalar, df_i: int, keep: np.ndarray):
+    """Decode only the kept blocks of one segment blob → (doc_ids, tf).
+
+    Kept blocks are decoded in contiguous runs via ``codec.slice_blocks``
+    — skipped blocks' bytes are never varint-decoded. ``boff_scalar`` is
+    the Arrow block_offsets scalar, converted only on the partial path
+    (the keep-all fast path never touches it). ``keep`` must have ≥1
+    True."""
+    if keep.all():
+        doc_ids, _, npos, _ = codec.decode_term_postings(blob)
+        return doc_ids, npos
+    boff = np.asarray(boff_scalar.as_py(), np.int64)
+    kidx = np.flatnonzero(keep)
+    runs = np.split(kidx, np.flatnonzero(np.diff(kidx) > 1) + 1)
+    parts = [
+        codec.slice_blocks(blob, boff, df_i, int(run[0]), int(run[-1]) + 1)
+        for run in runs
+    ]
+    return (
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[2] for p in parts]),
+    )
+
+
 def _decode_tf_pruned_df(
     seg_rows: DataFrame,
     idfs: dict[int, float],
@@ -349,22 +373,138 @@ def _decode_tf_pruned_df(
                     continue
                 if not keep.any():
                     continue
-                blob = blobs[i].as_py()
-                if keep.all():
-                    doc_ids, _, npos, _ = codec.decode_term_postings(blob)
+                doc_ids, npos = _decode_kept_blocks(
+                    blobs[i].as_py(), boffs[i], int(dfs_c[i]), keep
+                )
+                out_t.append(np.full(doc_ids.size, tid, np.int64))
+                out_d.append(doc_ids)
+                out_f.append(npos.astype(np.int64))
+            if stats_only and st[0]:
+                yield pa.record_batch(
+                    [
+                        pa.array(st[0], pa.int64()),
+                        pa.array(st[1], pa.int64()),
+                        pa.array(st[2], pa.int64()),
+                    ],
+                    names=["term_id", "blocks_total", "blocks_decoded"],
+                )
+            elif out_t:
+                yield pa.record_batch(
+                    [
+                        pa.array(np.concatenate(out_t), pa.int64()),
+                        pa.array(np.concatenate(out_d), pa.int64()),
+                        pa.array(np.concatenate(out_f), pa.int64()),
+                    ],
+                    names=["term_id", "doc_id", "tf"],
+                )
+
+    cols = seg_rows.select(
+        "term_id", "df", "blob", "block_last", "block_max_tf", "block_offsets"
+    )
+    if stats_only:
+        return cols.mapInArrow(
+            kernel, "term_id long, blocks_total long, blocks_decoded long"
+        )
+    return cols.mapInArrow(kernel, "term_id long, doc_id long, tf long")
+
+
+def _decode_tf_pruned_many_df(
+    seg_rows: DataFrame,
+    idfs: dict[int, float],
+    term_specs: dict[int, list[dict]],
+    overlap: dict[int, _OverlapMeta],
+    scorer: str,
+    stats_only: bool = False,
+) -> DataFrame:
+    """Batched BLOCK-MAX-PRUNED blob decode → (term_id, doc_id, tf) for a
+    MULTI-QUERY plan (verdict r4 #2): each term is decoded once, and
+    block b of term t is kept iff ANY query using t still needs it::
+
+        keep_t[b] = ∨_{q ∋ t} [ ub_t(b) + big_rest_q[t]
+                      + Σ_{t' ∈ small(q), t'≠t, t' overlaps b's range} ub_{t'}
+                      >= theta_q − PRUNE_EPS ]
+
+    ``term_specs[t]`` lists one spec per query using t:
+    ``{"theta": float, "big_rest": {t: float}, "small": set[int]}`` —
+    theta_q from the per-query rarest-term probe
+    (``_theta_probe_many``), big_rest_q / small(q) from the SHARED
+    ``_collect_prune_meta`` pass (ub is query-independent, so metadata is
+    collected once for the union of terms). A spec with theta = −inf
+    (single-term query, or rarest term thinner than k) keeps every block
+    of its terms.
+
+    Soundness per query is exactly the single-query argument
+    (``_decode_tf_pruned_df``): q's winners keep all their blocks under
+    q's OWN criterion, so their sums stay exact; a doc that lost a block
+    for q has true q-total < theta_q − ε and sorts strictly below q's
+    k-th winner even on its partial sum. Blocks kept only because
+    ANOTHER query needs them add candidates to q, but only ones that
+    rank below q's winners — the OR is a superset of each query's own
+    keep set, and extra decoded rows can only introduce sub-theta
+    candidates, never perturb winner sums.
+
+    ``stats_only=True`` returns (term_id, blocks_total, blocks_decoded)
+    — the batch twin of ``distributed_pruning_stats``.
+    """
+    import pyarrow as pa
+
+    def _q_keep(
+        tid: int, ub: np.ndarray, lo: np.ndarray, blast: np.ndarray, spec: dict
+    ) -> np.ndarray:
+        helpv = np.full(blast.size, float(spec["big_rest"][tid]))
+        for t2 in spec["small"]:
+            if t2 == tid:
+                continue
+            om = overlap.get(t2)
+            if om is None or om.H.size == 0:
+                continue
+            j = np.searchsorted(om.H, lo, side="left")
+            ex = j < om.H.size
+            jc = np.minimum(j, om.H.size - 1)
+            ex &= om.Lsuf[jc] <= blast
+            helpv += np.where(ex, om.ub, 0.0)
+        return (ub + helpv) >= spec["theta"] - PRUNE_EPS
+
+    def kernel(batches):
+        for batch in batches:
+            tids_c = batch.column("term_id").to_numpy(zero_copy_only=False)
+            dfs_c = batch.column("df").to_numpy(zero_copy_only=False)
+            blobs = batch.column("blob")
+            blasts = batch.column("block_last")
+            bmaxs = batch.column("block_max_tf")
+            boffs = batch.column("block_offsets")
+            out_t, out_d, out_f = [], [], []
+            st = ([], [], [])
+            for i in range(batch.num_rows):
+                tid = int(tids_c[i])
+                blast = np.asarray(blasts[i].as_py(), np.int64)
+                specs = term_specs.get(tid)
+                if not specs or any(
+                    not math.isfinite(s["theta"]) for s in specs
+                ):
+                    keep = np.ones(blast.size, bool)
                 else:
-                    boff = np.asarray(boffs[i].as_py(), np.int64)
-                    df_i = int(dfs_c[i])
-                    kidx = np.flatnonzero(keep)
-                    runs = np.split(kidx, np.flatnonzero(np.diff(kidx) > 1) + 1)
-                    parts = [
-                        codec.slice_blocks(
-                            blob, boff, df_i, int(run[0]), int(run[-1]) + 1
-                        )
-                        for run in runs
-                    ]
-                    doc_ids = np.concatenate([p[0] for p in parts])
-                    npos = np.concatenate([p[2] for p in parts])
+                    bmax = np.asarray(bmaxs[i].as_py(), np.int64)
+                    ub = _block_upper_bounds(bmax, idfs[tid], scorer)
+                    lo = np.empty_like(blast)
+                    if blast.size:
+                        lo[0] = 0  # first block's true start unknown pre-decode
+                        lo[1:] = blast[:-1] + 1
+                    keep = np.zeros(blast.size, bool)
+                    for spec in specs:
+                        keep |= _q_keep(tid, ub, lo, blast, spec)
+                        if keep.all():
+                            break
+                if stats_only:
+                    st[0].append(tid)
+                    st[1].append(int(blast.size))
+                    st[2].append(int(keep.sum()))
+                    continue
+                if not keep.any():
+                    continue
+                doc_ids, npos = _decode_kept_blocks(
+                    blobs[i].as_py(), boffs[i], int(dfs_c[i]), keep
+                )
                 out_t.append(np.full(doc_ids.size, tid, np.int64))
                 out_d.append(doc_ids)
                 out_f.append(npos.astype(np.int64))
@@ -878,8 +1018,29 @@ def _build_prune_meta(
     idfs: dict[int, float],
     scorer: str,
 ) -> tuple[dict[int, float], dict[int, _OverlapMeta]]:
-    """Pruning metadata for ``_decode_tf_pruned_df`` — two tiny
-    METADATA-only jobs over the already-pruned scan (blob bytes untouched):
+    """Pruning metadata for ``_decode_tf_pruned_df`` (single query).
+
+    Returns (big_rest, overlap): ``big_rest[t]`` = Σ ub of the OTHER terms
+    too big to ship ranges for (their help is granted unconditionally —
+    high df ⇒ low idf ⇒ small help); ``overlap[t]`` = the range metadata
+    + ub of each small term. See ``_collect_prune_meta`` for the two
+    metadata jobs and their cost bounds."""
+    ub, overlap = _collect_prune_meta(seg_rows, tids, dfs, idfs, scorer)
+    big_rest = {
+        t: sum(ub[u] for u in tids if u != t and u not in overlap) for t in tids
+    }
+    return big_rest, overlap
+
+
+def _collect_prune_meta(
+    seg_rows: DataFrame,
+    tids: list[int],
+    dfs: dict[int, int],
+    idfs: dict[int, float],
+    scorer: str,
+) -> tuple[dict[int, float], dict[int, _OverlapMeta]]:
+    """Shared prune metadata — two tiny METADATA-only jobs over the
+    already-pruned scan (blob bytes untouched):
 
     1. per-term max single-posting contribution ub[t], from
        max(array_max(block_max_tf));
@@ -888,12 +1049,10 @@ def _build_prune_meta(
        so hot terms' blocks only get a small term's help where it actually
        has postings.
 
-    Returns (big_rest, overlap): ``big_rest[t]`` = Σ ub of the OTHER terms
-    too big to ship ranges for (their help is granted unconditionally —
-    high df ⇒ low idf ⇒ small help); ``overlap[t]`` = the range metadata
-    + ub of each small term. Driver memory: ≤ df/128 ≤ 4096 int64s per
-    small term — bounded like the query-term dfs, independent of corpus
-    size."""
+    ub is query-independent (idf depends only on (N, df)), so the batched
+    plan computes this ONCE for the union of all queries' terms. Driver
+    memory: ≤ df/128 ≤ 4096 int64s per small term — bounded like the
+    query-term dfs, independent of corpus size."""
     rows = (
         seg_rows.groupBy("term_id")
         .agg(F.max(F.array_max("block_max_tf")).alias("_g"))
@@ -932,10 +1091,7 @@ def _build_prune_meta(
             L, H = L[order], H[order]
             lsuf = np.minimum.accumulate(L[::-1])[::-1]
             overlap[t] = _OverlapMeta(H=H, Lsuf=lsuf, ub=ub[t])
-    big_rest = {
-        t: sum(ub[u] for u in tids if u != t and u not in overlap) for t in tids
-    }
-    return big_rest, overlap
+    return ub, overlap
 
 
 def _theta_probe(
@@ -976,6 +1132,61 @@ def _theta_probe(
     if len(vals) < k:
         return -math.inf
     return float(vals[-1]["_c"])
+
+
+def _theta_probe_many(
+    di: DiskIndex,
+    seg_rows: DataFrame,
+    probe_tids: list[int],
+    idfs: dict[int, float],
+    k: int,
+    scorer: str,
+) -> dict[int, float]:
+    """Batched theta seed: the k-th largest single-term contribution of
+    EVERY probe term in one job (the per-query rarest terms, deduped).
+    Returns {term_id: theta}; terms with fewer than k postings map to
+    −inf (no pruning possible for queries probing through them).
+
+    Same lower-bound argument as ``_theta_probe``, evaluated per term via
+    one decode of the probe terms' postings + a per-term rank window.
+    The window's per-term reducer sorts only that term's contributions —
+    bounded by the PROBE term's df, which is each query's MINIMUM df by
+    construction (the whole point of probing the rarest term), not a
+    full-candidate sort."""
+    from pyspark.sql import Window
+
+    tf_rows = _decode_tf_df(
+        seg_rows.filter(F.col("term_id").isin(sorted(probe_tids)))
+    )
+    tf = F.col("tf").cast("double")
+    idf_col = F.lit(0.0)
+    for t in probe_tids:
+        idf_col = F.when(F.col("term_id") == t, F.lit(idfs[t])).otherwise(idf_col)
+    if scorer == "bm25":
+        avgdl = di.avgdl()
+        scored = tf_rows.join(di.doc_length_df(), "doc_id")
+        contrib = idf_col * (
+            tf * (BM25_K1 + 1.0)
+            / (
+                tf
+                + BM25_K1
+                * (1.0 - BM25_B + BM25_B * (F.col("dl").cast("double") / avgdl))
+            )
+        )
+    else:
+        scored = tf_rows
+        contrib = (1.0 + F.log(tf)) * idf_col
+    w = Window.partitionBy("term_id").orderBy(F.desc("_c"))
+    rows = (
+        scored.select("term_id", contrib.alias("_c"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == k)
+        .collect()
+    )
+    thetas = {t: -math.inf for t in probe_tids}
+    for r in rows:
+        thetas[int(r["term_id"])] = float(r["_c"])
+    return thetas
 
 
 def _distributed_query_setup(di: DiskIndex, query: str, scorer: str):
@@ -1274,6 +1485,168 @@ def topk_bm25_wand(
     return [(d, sc) for sc, d in top[:k]]
 
 
+def _partial_topk_df(agg_rows: DataFrame, k: int) -> DataFrame:
+    """Per-partition partial top-k per qid (verdict r4 #3) — the
+    map-side half of a distributed TakeOrdered, generalized to Q queries
+    at once.
+
+    Input: (qid, doc_id, score) candidate rows, any partitioning.
+    Output: for each (qid, input partition), that partition's k best by
+    (round(score, 6) DESC, doc_id ASC) — ≤ k·partitions rows per qid in
+    total, with RAW scores passed through so the final (tiny) rank
+    window orders by exactly the same F.round expression as before.
+
+    The kernel streams Arrow batches and keeps a running top-k per qid —
+    memory O(Q·k) per partition, never the partition's candidate count.
+    Selection inside the kernel rounds HALF_UP at 6 dp
+    (floor(x·1e6 + 0.5)/1e6, exact for the non-negative scores both
+    scorers produce) so the kept k agree with the final window's
+    F.round ordering on 6-dp boundary ties."""
+    import pyarrow as pa
+
+    def kernel(batches):
+        best: dict = {}  # qid -> (rounded, doc_id, raw) arrays, k best
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            qid = np.asarray(batch.column("qid").to_pylist(), dtype=object)
+            doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            raw = batch.column("score").to_numpy(zero_copy_only=False)
+            rnd = np.floor(raw * 1e6 + 0.5) / 1e6
+            order = np.argsort(qid, kind="mergesort")
+            qs, starts = np.unique(qid[order], return_index=True)
+            bounds = np.append(starts, qid.size)
+            for qi, s, e in zip(qs, bounds[:-1], bounds[1:]):
+                sel = order[s:e]
+                cr, cd, craw = rnd[sel], doc[sel], raw[sel]
+                prev = best.get(qi)
+                if prev is not None:
+                    cr = np.concatenate([prev[0], cr])
+                    cd = np.concatenate([prev[1], cd])
+                    craw = np.concatenate([prev[2], craw])
+                top = np.lexsort((cd, -cr))[:k]
+                best[qi] = (cr[top], cd[top], craw[top])
+        if best:
+            qout: list = []
+            dout, sout = [], []
+            for qi, (_, dd, rr) in best.items():
+                qout.extend([qi] * dd.size)
+                dout.append(dd)
+                sout.append(rr)
+            yield pa.record_batch(
+                [
+                    pa.array(qout, pa.string()),
+                    pa.array(np.concatenate(dout).astype(np.int64), pa.int64()),
+                    pa.array(np.concatenate(sout), pa.float64()),
+                ],
+                names=["qid", "doc_id", "score"],
+            )
+
+    return agg_rows.mapInArrow(kernel, "qid string, doc_id long, score double")
+
+
+def _batched_prune_setup(
+    di: DiskIndex,
+    queries: list[tuple[str, str]],
+    k: int,
+    scorer: str,
+):
+    """Shared front half of ``topk_scores_many`` and
+    ``batched_pruning_stats``: tokenize every query, resolve df/idf for
+    the UNION of terms, build the pruned scan, and assemble the per-query
+    prune specs (shared metadata pass + batched theta probe).
+
+    Returns None when no query has an indexed term, else
+    (per_q, idfs, seg_rows, term_specs, overlap, thetas_by_qid) where
+    ``term_specs[t]`` feeds ``_decode_tf_pruned_many_df`` and is empty
+    when nothing can be pruned (all queries single-term or thinner than
+    k)."""
+    from ..functions.xxhash import bucket_of_term
+
+    per_q = {
+        qid: sorted({t for t, _ in tokenize_query(q)}) for qid, q in queries
+    }
+    union = sorted({t for tids in per_q.values() for t in tids})
+    dfs = _df_of_terms(di, union) if union else {}
+    union = [t for t in union if dfs.get(t, 0) > 0]
+    if not union:
+        return None
+    per_q = {
+        qid: [t for t in tids if t in set(union)] for qid, tids in per_q.items()
+    }
+    n = di.meta.n_docs
+    if scorer == "bm25":
+        idfs = {t: _bm25_idf(n, dfs[t]) for t in union}
+    else:
+        idfs = {t: math.log(n / dfs[t]) for t in union}
+    buckets = sorted({bucket_of_term(t, di.meta.n_buckets) for t in union})
+    seg_rows = di.segments.filter(
+        F.col("bucket").isin(buckets) & F.col("term_id").isin(union)
+    )
+    multi = {qid: tids for qid, tids in per_q.items() if len(tids) > 1}
+    term_specs: dict[int, list[dict]] = {}
+    overlap: dict[int, _OverlapMeta] = {}
+    thetas_by_qid: dict[str, float] = {qid: -math.inf for qid in per_q}
+    if multi:
+        ub, overlap = _collect_prune_meta(seg_rows, union, dfs, idfs, scorer)
+        probe_tid = {
+            qid: min(tids, key=lambda t: dfs[t]) for qid, tids in multi.items()
+        }
+        thetas = _theta_probe_many(
+            di, seg_rows, sorted(set(probe_tid.values())), idfs, k, scorer
+        )
+        for qid, tids in per_q.items():
+            if not tids:
+                continue
+            # single-term queries keep all their blocks (theta = -inf):
+            # the probe WOULD be the whole job, same routing as the
+            # single-query plan
+            theta = thetas[probe_tid[qid]] if qid in multi else -math.inf
+            thetas_by_qid[qid] = theta
+            spec = {
+                "theta": theta,
+                "big_rest": {
+                    t: sum(
+                        ub[u] for u in tids if u != t and u not in overlap
+                    )
+                    for t in tids
+                },
+                "small": {t for t in tids if t in overlap},
+            }
+            for t in tids:
+                term_specs.setdefault(t, []).append(spec)
+        if all(not math.isfinite(s["theta"]) for ss in term_specs.values() for s in ss):
+            term_specs = {}  # nothing prunable: skip the pruned kernel
+    return per_q, idfs, seg_rows, term_specs, overlap, thetas_by_qid
+
+
+def batched_pruning_stats(
+    di: DiskIndex,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    scorer: str = "bm25",
+) -> dict:
+    """Block-selection stats of the batched plan (no postings shipped):
+    {"blocks_total", "blocks_decoded", "theta": {qid: theta}} — the
+    multi-query twin of ``distributed_pruning_stats``, same selection
+    code path as ``topk_scores_many`` with ``stats_only=True``."""
+    setup = _batched_prune_setup(di, queries, k, scorer)
+    if setup is None:
+        return {"blocks_total": 0, "blocks_decoded": 0, "theta": {}}
+    _, idfs, seg_rows, term_specs, overlap, thetas = setup
+    stats = _decode_tf_pruned_many_df(
+        seg_rows, idfs, term_specs, overlap, scorer, stats_only=True
+    )
+    agg = stats.agg(
+        F.sum("blocks_total").alias("t"), F.sum("blocks_decoded").alias("d")
+    ).collect()[0]
+    return {
+        "blocks_total": int(agg["t"] or 0),
+        "blocks_decoded": int(agg["d"] or 0),
+        "theta": thetas,
+    }
+
+
 def topk_scores_many(
     di: DiskIndex,
     queries: list[tuple[str, str]],
@@ -1293,8 +1666,14 @@ def topk_scores_many(
 
     - pruned segment scan (bucket isin ∪buckets + term_id isin ∪terms —
       partition pruning + predicate pushdown, same as the single-query
-      executor plan) → mapInArrow blob decode to (term_id, doc_id, tf),
-      ONCE per term;
+      executor plan) → mapInArrow BLOCK-MAX-PRUNED blob decode to
+      (term_id, doc_id, tf), ONCE per term: each query q gets a theta_q
+      from a batched rarest-term probe (one job for all queries), and
+      block b of term t is decoded iff ANY query using t could still
+      place a doc from b in its top k — the OR of the per-query
+      single-query criteria (``_decode_tf_pruned_many_df``; verdict r4
+      #2). Single-term queries pin their terms to keep-all, matching the
+      single-query plan's routing;
     - ``scorer='bm25'``: ONE doc-partitioned dl-sidecar join BEFORE the
       per-query fan-out, so dl is joined per posting, not per
       (query × posting);
@@ -1304,9 +1683,11 @@ def topk_scores_many(
     - groupBy(qid, doc_id).sum(contrib): one shuffle keyed by the
       PRODUCT key, so queries sharing a hot term don't concentrate on
       one reducer;
-    - per-query top-k via row_number over (partitionBy qid, orderBy
-      round(score,6) desc, doc_id) ≤ k. Q window partitions; each
-      ranks exactly the candidate set a single-query TakeOrdered would.
+    - per-query top-k as a distributed TakeOrdered (verdict r4 #3): a
+      per-partition partial top-k kernel (``_partial_topk_df``, memory
+      O(Q·k) per partition) reduces each qid to ≤ k·partitions candidate
+      rows, and only THAT reduced set flows through the final rank
+      window — no reducer ever sorts a query's full candidate set.
 
     Scores are the same contribution expressions as
     ``topk_scores_distributed`` and ties at the k boundary use the same
@@ -1317,33 +1698,22 @@ def topk_scores_many(
     the single-query ``topk_*`` entry points."""
     from pyspark.sql import Window
 
-    from ..functions.xxhash import bucket_of_term
-
     spark = di.segments.sparkSession
     out_schema = "qid string, doc_id long, score double, rank long"
-    per_q = {qid: sorted({t for t, _ in tokenize_query(q)}) for qid, q in queries}
-    union = sorted({t for tids in per_q.values() for t in tids})
-    dfs = _df_of_terms(di, union) if union else {}
-    union = [t for t in union if dfs.get(t, 0) > 0]
-    if not union:
+    setup = _batched_prune_setup(di, queries, k, scorer)
+    if setup is None:
         return spark.createDataFrame([], out_schema)
-    n = di.meta.n_docs
-    if scorer == "bm25":
-        idfs = {t: _bm25_idf(n, dfs[t]) for t in union}
-    else:
-        idfs = {t: math.log(n / dfs[t]) for t in union}
+    per_q, idfs, seg_rows, term_specs, overlap, _ = setup
     route = [
-        (qid, t, idfs[t])
-        for qid, tids in per_q.items()
-        for t in tids
-        if t in idfs
+        (qid, t, idfs[t]) for qid, tids in per_q.items() for t in tids
     ]
     route_df = spark.createDataFrame(route, "qid string, term_id long, idf double")
-    buckets = sorted({bucket_of_term(t, di.meta.n_buckets) for t in union})
-    seg_rows = di.segments.filter(
-        F.col("bucket").isin(buckets) & F.col("term_id").isin(union)
-    )
-    tf_rows = _decode_tf_df(seg_rows)
+    if term_specs:
+        tf_rows = _decode_tf_pruned_many_df(
+            seg_rows, idfs, term_specs, overlap, scorer
+        )
+    else:
+        tf_rows = _decode_tf_df(seg_rows)
     tf = F.col("tf").cast("double")
     if scorer == "bm25":
         avgdl = di.avgdl()
@@ -1358,13 +1728,19 @@ def topk_scores_many(
         )
     else:
         contrib = (1.0 + F.log(tf)) * F.col("idf")
+    agg = (
+        tf_rows.join(F.broadcast(route_df), "term_id")
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    # final rank over the REDUCED candidate set only: ≤ k·partitions rows
+    # per qid reach the window, ordered by the same rounded-score key the
+    # kernel selected with
     w = Window.partitionBy("qid").orderBy(
         F.round(F.col("score"), 6).desc(), F.asc("doc_id")
     )
     return (
-        tf_rows.join(F.broadcast(route_df), "term_id")
-        .groupBy("qid", "doc_id")
-        .agg(F.sum(contrib).alias("score"))
+        _partial_topk_df(agg, k)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("qid", "doc_id", F.round("score", 6).alias("score"), "rank")
