@@ -673,6 +673,7 @@ class DiskIndex:
         self.segment_cache = LruCache(100_000)
         self.df_cache = LruCache(1_000_000)  # term_id -> df (metadata only)
         self.site_cache = LruCache(10_000)
+        self.site_count_cache = LruCache(100_000)  # site -> doc count (one long)
         self.result_cache = LruCache(10_000)
         self._empty_result = None
         self._dl = None
@@ -686,6 +687,7 @@ class DiskIndex:
         self.segment_cache = LruCache(100_000)
         self.df_cache = LruCache(1_000_000)
         self.site_cache = LruCache(10_000)
+        self.site_count_cache = LruCache(100_000)
         self.result_cache = LruCache(10_000)
 
     def doc_length_df(self) -> DataFrame:

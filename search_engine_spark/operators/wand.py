@@ -786,6 +786,28 @@ MAX_DRIVER_POSTINGS = 2_000_000
 # winners.
 MAX_DRIVER_DOCS = 2_000_000
 
+# The driver ``site:`` path collects the site's whole doc-id set into an
+# LRU (O(site) driver memory — a crawl of one large host at 100 TB could
+# be millions of ids). Above this many docs for the site, the query takes
+# the distributed route instead, where the site filter is a pruned semi
+# join executor-side. The count itself is ONE aggregate job (a single
+# long to the driver), cached per site (verdict r4 #4).
+MAX_DRIVER_SITE_DOCS = 100_000
+
+
+def _site_doc_count(di: DiskIndex, site: str) -> int:
+    """Doc count of a site suffix — one metadata aggregate over the doc
+    store (only a count crosses to the driver), LRU-cached per site so
+    repeat queries on the same site pay it once per index handle."""
+    cached = di.site_count_cache.get(site)
+    if cached is not None:
+        return cached
+    from .search import host_of
+
+    n = di.documents.filter(host_of(F.col("url")).endswith(site)).count()
+    di.site_count_cache.put(site, n)
+    return n
+
 
 def search_segments(
     di: DiskIndex,
@@ -793,6 +815,7 @@ def search_segments(
     per_shard: int = PER_SHARD_LIMIT,
     max_driver_postings: int = MAX_DRIVER_POSTINGS,
     num_shards: int = 1,
+    max_driver_site_docs: int = MAX_DRIVER_SITE_DOCS,
 ) -> DataFrame:
     """Reference-semantics search over the compressed disk index.
 
@@ -804,7 +827,13 @@ def search_segments(
     ``max_driver_postings`` postings (df column, checked via a pruned
     metadata scan), execution switches to ``_search_segments_distributed``
     — same semantics, executor-side decode/intersection/truncation.
-    """
+
+    Hot-site safety valve (verdict r4 #4): a ``site:`` query whose site
+    spans more than ``max_driver_site_docs`` documents (one cached count
+    aggregate — never the id set) also routes distributed, where the
+    site filter is an executor-side semi join; the driver path's
+    O(site)-sized allowed-doc collect only runs for sites under the
+    bound (or already LRU-resident)."""
     spark = di.spark
     empty = di.empty_result
     pq = parse_query(query)
@@ -815,11 +844,20 @@ def search_segments(
     for kw in pq.keywords + pq.exclusions:
         need.update(t for t, _ in tokenize_query(kw))
     need_sorted = sorted(need)
+    dfs = None
     # size check skipped when every term's blob is already LRU-resident
     if not all(t in di.segment_cache for t in need_sorted):
         dfs = _df_of_terms(di, need_sorted)
         if sum(dfs.values()) > max_driver_postings:
             return _search_segments_distributed(di, pq, dfs, per_shard, num_shards)
+    if (
+        pq.site
+        and di.site_cache.get(pq.site) is None
+        and _site_doc_count(di, pq.site) > max_driver_site_docs
+    ):
+        if dfs is None:
+            dfs = _df_of_terms(di, need_sorted)
+        return _search_segments_distributed(di, pq, dfs, per_shard, num_shards)
     segs = fetch_term_segments(di, need_sorted)
 
     base = _keyword_candidates(segs, pq.keywords[0])

@@ -264,3 +264,38 @@ def test_topk_many_no_full_candidate_window_sort(spark, hot_rare_index):
         F.round(F.col("score"), 6).desc(), F.asc("doc_id")).limit(10).collect()]
     exp = sorted(range(5000), key=lambda i: (-(i % 97), i))[:10]
     assert top == exp
+
+
+def test_site_valve_never_collects_site_rows(spark, index_dir):
+    """Verdict r4 #4: a site: query whose site doc count exceeds the
+    valve must route distributed — the driver never materializes the
+    site's O(site) doc-id set (site_cache stays empty; only the cached
+    COUNT crosses) — and stays row-identical to the driver route."""
+    di_driver = load_index(spark, index_dir)
+    exp = wand.search_segments(di_driver, "spark site:src3").collect()
+    assert len(exp) > 0
+    assert di_driver.site_cache.get("src3") is not None  # driver path used
+
+    di = load_index(spark, index_dir)
+    got = wand.search_segments(di, "spark site:src3",
+                               max_driver_site_docs=0).collect()
+    assert di.site_cache.get("src3") is None, (
+        "valved site query must not collect the site's doc-id set"
+    )
+    assert di.site_count_cache.get("src3") is not None  # one cached long
+    assert len(di.segment_cache._d) == 0  # fully distributed route
+    assert [(r["doc_id"], r["rank"]) for r in got] == [
+        (r["doc_id"], r["rank"]) for r in exp
+    ]
+    for g, e in zip(got, exp):
+        assert abs(g["score"] - e["score"]) < 1e-9
+
+    # under the valve (count <= bound) the driver path still runs and
+    # caches the allowed set, skipping repeat count jobs via the LRU
+    di2 = load_index(spark, index_dir)
+    got2 = wand.search_segments(di2, "spark site:src3",
+                                max_driver_site_docs=10**9).collect()
+    assert di2.site_cache.get("src3") is not None
+    assert [(r["doc_id"], r["rank"]) for r in got2] == [
+        (r["doc_id"], r["rank"]) for r in exp
+    ]
