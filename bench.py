@@ -273,6 +273,15 @@ def main() -> None:
         ("q_rare", "dup"),
     ]:
         timed_query(qname, lambda q=q: search_segments(di, q).collect())
+    # cold-query floor (verdict r4 #7): same cold q_single but with the
+    # df metadata primed at "load time" (one untimed job in the reset),
+    # so the timed region is the blob-fetch job alone — the before/after
+    # pair the verdict asks BENCH_r05 to record
+    timed(
+        "q_single_primed",
+        lambda: search_segments(di, "table").collect(),
+        reset=lambda: (di.clear_caches(), di.prime()),
+    )
     timed_query("q_wand_topk", lambda: topk_wand(di, "customer query", 10))
     from search_engine_spark.operators.wand import topk_bm25_wand
 

@@ -690,6 +690,39 @@ class DiskIndex:
         self.site_count_cache = LruCache(100_000)
         self.result_cache = LruCache(10_000)
 
+    def prime(self, term_ids: list[int] | None = None) -> int:
+        """Prefetch term df metadata into the driver LRU in ONE
+        metadata-only job (verdict r4 #7 — the cold-query floor).
+
+        A cold query pays two Spark jobs: the df metadata scan
+        (``wand._df_of_terms``) and the blob fetch; both are dominated by
+        fixed job overhead at serving latency. Priming moves the first
+        one to index-load time, so a cold query's critical path is the
+        blob fetch alone.
+
+        ``term_ids=None`` primes the ENTIRE lexicon's (term_id, df)
+        pairs — one groupBy over the segment METADATA columns (the
+        parquet reader never touches blob bytes). Viable while the
+        lexicon fits the 1M-entry LRU (sf0.1: ~100k bigrams; the CJK
+        bigram space itself is bounded); at a 100-TB lexicon pass the
+        term_ids of the serving query log instead, which routes through
+        the same bucket-pruned scan as a query. Returns the number of
+        terms primed. Absent terms still miss (only present terms have
+        metadata rows); ``clear_caches`` drops primed state like any
+        other cache."""
+        if term_ids is not None:
+            from .wand import _df_of_terms
+
+            return len(_df_of_terms(self, term_ids))
+        rows = (
+            self._segments.groupBy("term_id")
+            .agg(F.sum("df").alias("df"))
+            .collect()
+        )
+        for r in rows:
+            self.df_cache.put(int(r["term_id"]), int(r["df"]))
+        return len(rows)
+
     def doc_length_df(self) -> DataFrame:
         """(doc_id, dl) as a DataFrame — the doc-partitioned BM25 length
         sidecar. This is what the EXECUTOR-SIDE scoring path joins against
