@@ -380,33 +380,40 @@ def main() -> None:
         collect_stats=False,
     )
     fx_di = load_index(spark, fx_idx)
-    p50_probe_before = spin_probe()
-    fx_cs0 = cpu_stat()
     for _, q in REFERENCE_QUERY_SET:  # warmup (JIT + parquet footer cache)
         search_segments(fx_di, q).collect()
-    lat: dict[str, list[float]] = {qid: [] for qid, _ in REFERENCE_QUERY_SET}
-    for _ in range(7):
-        for qid, q in REFERENCE_QUERY_SET:
-            t1 = time.time()
-            search_segments(fx_di, q).collect()
-            lat[qid].append((time.time() - t1) * 1000)
-    fx_cs1 = cpu_stat()
-    p50_probe_after = spin_probe()
-    fx_steal = steal_pct(fx_cs0, fx_cs1)
-    all_lat = [v for vs in lat.values() for v in vs]
-    query_p50_ms = round(statistics.median(all_lat), 2)
-    query_p95_ms = round(sorted(all_lat)[int(len(all_lat) * 0.95)], 2)
-    per_query_p50_ms = {
-        qid: round(statistics.median(vs), 2) for qid, vs in lat.items()
-    }
-    entries["fixtures_query_block"] = {
-        "secs": None,
-        "probes": [[p50_probe_before, p50_probe_after]],
-        "steal_pct": [fx_steal],
-        "probe_min": min(p50_probe_before, p50_probe_after),
-        "healthy": min(p50_probe_before, p50_probe_after) >= args.healthy_mops
-        and (fx_steal is None or fx_steal <= args.max_steal_pct),
-    }
+    # the whole percentile block is one ~30 s contiguous region, so a
+    # single mid-block steal burst uncertifies it; measure up to 3 times
+    # and keep the first certified block (the per-attempt probes/steal
+    # of the kept attempt are what's recorded)
+    for _fx_attempt in range(3):
+        p50_probe_before = spin_probe()
+        fx_cs0 = cpu_stat()
+        lat: dict[str, list[float]] = {qid: [] for qid, _ in REFERENCE_QUERY_SET}
+        for _ in range(7):
+            for qid, q in REFERENCE_QUERY_SET:
+                t1 = time.time()
+                search_segments(fx_di, q).collect()
+                lat[qid].append((time.time() - t1) * 1000)
+        fx_cs1 = cpu_stat()
+        p50_probe_after = spin_probe()
+        fx_steal = steal_pct(fx_cs0, fx_cs1)
+        all_lat = [v for vs in lat.values() for v in vs]
+        query_p50_ms = round(statistics.median(all_lat), 2)
+        query_p95_ms = round(sorted(all_lat)[int(len(all_lat) * 0.95)], 2)
+        per_query_p50_ms = {
+            qid: round(statistics.median(vs), 2) for qid, vs in lat.items()
+        }
+        entries["fixtures_query_block"] = {
+            "secs": None,
+            "probes": [[p50_probe_before, p50_probe_after]],
+            "steal_pct": [fx_steal],
+            "probe_min": min(p50_probe_before, p50_probe_after),
+            "healthy": min(p50_probe_before, p50_probe_after) >= args.healthy_mops
+            and (fx_steal is None or fx_steal <= args.max_steal_pct),
+        }
+        if entries["fixtures_query_block"]["healthy"]:
+            break
     shutil.rmtree(fx_root, ignore_errors=True)
 
     # --- training-data ops ----------------------------------------------------
